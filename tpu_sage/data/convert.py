@@ -1,0 +1,179 @@
+"""ETL: external graph formats → ``problem.h5`` (reference ``convert.py``).
+
+The reference converts the williamleif/GraphSAGE example-data layout
+(``<prefix>-G.json`` networkx node-link graph, ``<prefix>-id_map.json``,
+``<prefix>-class_map.json``, ``<prefix>-feats.npy``) into one HDF5 artifact
+with the padded dense adjacency (SURVEY.md §3.4). We keep that artifact
+contract (schema in ``tpu_sage.data.problem``) and add a generic
+edge-list ingester. max_degree defaults to 128 [W].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from tpu_sage.data.problem import FOLD_CODES
+from tpu_sage.data.synthetic import fold_codes_from_folds
+from tpu_sage.graph.graph_data import GraphStore, build_padded_adjacency
+
+
+def save_problem_h5(store: GraphStore, outpath: str) -> None:
+    """Write a GraphStore to the problem.h5 schema."""
+    import h5py
+
+    os.makedirs(os.path.dirname(os.path.abspath(outpath)), exist_ok=True)
+    with h5py.File(outpath, "w") as f:
+        f.create_dataset("adj", data=store.adj.astype(np.int32))
+        f.create_dataset("train_adj", data=store.train_adj.astype(np.int32))
+        f.create_dataset("degrees", data=store.degrees.astype(np.int32))
+        f.create_dataset("train_degrees", data=store.train_degrees.astype(np.int32))
+        f.create_dataset("feats", data=store.feats.astype(np.float32))
+        f.create_dataset("targets", data=store.targets)
+        f.create_dataset(
+            "folds", data=fold_codes_from_folds(store.n_nodes, store.folds)
+        )
+        f.attrs["task"] = store.task
+        f.attrs["n_classes"] = store.n_classes
+
+
+def from_edgelist(
+    edges: np.ndarray,
+    feats: np.ndarray,
+    targets: np.ndarray,
+    folds: Dict[str, np.ndarray],
+    task: str = "classification",
+    n_classes: Optional[int] = None,
+    max_degree: int = 128,
+    seed: int = 0,
+) -> GraphStore:
+    """Generic ingester: edge list + per-node arrays → GraphStore.
+
+    ``train_adj`` keeps only edges between train-fold nodes (inductive split,
+    SURVEY.md §2.1 "Problem container").
+    """
+    n_nodes = feats.shape[0]
+    rng = np.random.default_rng(seed)
+    adj, degrees = build_padded_adjacency(edges, n_nodes, max_degree, rng)
+    is_train = np.zeros(n_nodes, dtype=bool)
+    is_train[folds["train"]] = True
+    train_edges = edges[is_train[edges[:, 0]] & is_train[edges[:, 1]]]
+    train_adj, train_degrees = build_padded_adjacency(
+        train_edges, n_nodes, max_degree, rng
+    )
+    if n_classes is None:
+        if task == "classification":
+            n_classes = int(targets.max()) + 1
+        elif targets.ndim == 2:
+            n_classes = targets.shape[1]
+        else:
+            n_classes = 0
+    return GraphStore(
+        adj=adj,
+        degrees=degrees,
+        train_adj=train_adj,
+        train_degrees=train_degrees,
+        feats=feats.astype(np.float32),
+        targets=targets,
+        folds={k: np.asarray(v, dtype=np.int64) for k, v in folds.items()},
+        task=task,
+        n_classes=n_classes,
+    )
+
+
+def from_wl_json(inpath: str, prefix: Optional[str] = None, max_degree: int = 128,
+                 task: Optional[str] = None, seed: int = 0) -> GraphStore:
+    """williamleif example-data layout → GraphStore (SURVEY.md §3.4).
+
+    ``inpath`` is the directory; ``prefix`` defaults to the directory name
+    (e.g. ``toy-ppi`` for ``toy-ppi-G.json``). Multilabel is auto-detected
+    from class_map values being lists.
+    """
+    if prefix is None:
+        prefix = os.path.basename(os.path.normpath(inpath))
+
+    def p(suffix):
+        return os.path.join(inpath, f"{prefix}-{suffix}")
+
+    with open(p("G.json")) as f:
+        g = json.load(f)
+    with open(p("id_map.json")) as f:
+        id_map = json.load(f)
+    with open(p("class_map.json")) as f:
+        class_map = json.load(f)
+    feats = np.load(p("feats.npy")).astype(np.float32)
+
+    n_nodes = len(id_map)
+    remap = {k: int(v) for k, v in id_map.items()}
+
+    # node-link format: nodes carry 'id', 'val', 'test' attrs
+    val_mask = np.zeros(n_nodes, dtype=bool)
+    test_mask = np.zeros(n_nodes, dtype=bool)
+    for node in g["nodes"]:
+        i = remap[str(node["id"])]
+        val_mask[i] = bool(node.get("val", False))
+        test_mask[i] = bool(node.get("test", False))
+    folds = {
+        "val": np.nonzero(val_mask)[0].astype(np.int64),
+        "test": np.nonzero(test_mask & ~val_mask)[0].astype(np.int64),
+        "train": np.nonzero(~val_mask & ~test_mask)[0].astype(np.int64),
+    }
+
+    edges = np.array(
+        [
+            [remap[str(e["source"])], remap[str(e["target"])]]
+            for e in g["links"]
+        ],
+        dtype=np.int64,
+    ).reshape(-1, 2)
+
+    sample_val = next(iter(class_map.values()))
+    multilabel = isinstance(sample_val, (list, tuple))
+    if task is None:
+        task = "multilabel_classification" if multilabel else "classification"
+    if multilabel:
+        n_classes = len(sample_val)
+        targets = np.zeros((n_nodes, n_classes), dtype=np.float32)
+        for k, v in class_map.items():
+            targets[remap[str(k)]] = np.asarray(v, dtype=np.float32)
+    else:
+        targets = np.zeros(n_nodes, dtype=np.int64)
+        for k, v in class_map.items():
+            targets[remap[str(k)]] = int(v)
+        n_classes = int(targets.max()) + 1
+
+    return from_edgelist(
+        edges, feats, targets, folds, task=task, n_classes=n_classes,
+        max_degree=max_degree, seed=seed,
+    )
+
+
+def main(argv=None):  # pragma: no cover - thin CLI
+    """``python -m tpu_sage.data.convert --inpath DIR --outpath problem.h5``"""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--inpath", required=True)
+    ap.add_argument("--outpath", required=True)
+    ap.add_argument("--prefix", default=None)
+    ap.add_argument("--max-degree", type=int, default=128)
+    ap.add_argument("--task", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    store = from_wl_json(
+        args.inpath, args.prefix, max_degree=args.max_degree, task=args.task,
+        seed=args.seed,
+    )
+    save_problem_h5(store, args.outpath)
+    print(json.dumps({
+        "n_nodes": store.n_nodes, "max_degree": store.max_degree,
+        "feat_dim": store.feat_dim, "task": store.task,
+        "n_classes": store.n_classes, "outpath": args.outpath,
+    }))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

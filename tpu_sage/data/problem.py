@@ -1,0 +1,147 @@
+"""NodeProblem: the task container (reference ``problem.py``, SURVEY.md §2.1).
+
+Loads a ``problem.h5`` artifact (schema below), exposes the train/full
+adjacency split, folds, task-selected loss/metric names, and the reference's
+``iterate(mode, shuffle)`` batch generator. The device-side fast path bypasses
+``iterate`` entirely — fold ids live on device and batching is a PRNG
+permutation + reshape (zero per-step host traffic, SURVEY.md §3.3 note) — but
+the host generator is kept for API parity and evaluation scripting.
+
+problem.h5 schema (written by ``tpu_sage.data.convert`` / ``synthetic``):
+  datasets: adj (n, max_degree) int32, train_adj (n, max_degree) int32,
+            degrees (n,) int32, train_degrees (n,) int32,
+            feats (n, d) float32, targets (n,) int64 | (n, c) float32,
+            folds (n,) int8  [0=train, 1=val, 2=test]
+  attrs:    task (str), n_classes (int)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from tpu_sage.graph.graph_data import DeviceGraph, GraphStore
+
+FOLD_CODES = {"train": 0, "val": 1, "test": 2}
+
+
+def infer_degrees(adj: np.ndarray) -> np.ndarray:
+    """Recover true degrees from a self-id-padded table (fallback for
+    artifacts missing the ``degrees`` dataset): degree = max_degree minus the
+    trailing run of self-id entries."""
+    n, max_degree = adj.shape
+    self_ids = np.arange(n, dtype=adj.dtype)[:, None]
+    is_pad = adj == self_ids
+    # trailing-run length: first position from the right that is NOT pad
+    not_pad_rev = ~is_pad[:, ::-1]
+    first_real = np.where(
+        not_pad_rev.any(axis=1), np.argmax(not_pad_rev, axis=1), max_degree
+    )
+    return (max_degree - first_real).astype(np.int32)
+
+
+class NodeProblem:
+    """Task + graph + folds, mirroring the reference's public surface."""
+
+    def __init__(self, store: GraphStore):
+        self.store = store
+        self.task = store.task
+        self.n_classes = store.n_classes
+        self.folds: Dict[str, np.ndarray] = store.folds
+        self._device_graphs: Dict[bool, DeviceGraph] = {}
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def from_h5(cls, problem_path: str) -> "NodeProblem":
+        import h5py
+
+        with h5py.File(problem_path, "r") as f:
+            adj = f["adj"][:].astype(np.int32)
+            train_adj = f["train_adj"][:].astype(np.int32) if "train_adj" in f else adj
+            degrees = (
+                f["degrees"][:].astype(np.int32)
+                if "degrees" in f
+                else infer_degrees(adj)
+            )
+            train_degrees = (
+                f["train_degrees"][:].astype(np.int32)
+                if "train_degrees" in f
+                else infer_degrees(train_adj)
+            )
+            feats = f["feats"][:].astype(np.float32)
+            targets = f["targets"][:]
+            fold_codes = f["folds"][:]
+            task = f.attrs.get("task", "classification")
+            if isinstance(task, bytes):
+                task = task.decode()
+            n_classes = int(f.attrs.get("n_classes", 0))
+
+        folds = {
+            name: np.nonzero(fold_codes == code)[0].astype(np.int64)
+            for name, code in FOLD_CODES.items()
+        }
+        store = GraphStore(
+            adj=adj,
+            degrees=degrees,
+            train_adj=train_adj,
+            train_degrees=train_degrees,
+            feats=feats,
+            targets=targets,
+            folds=folds,
+            task=task,
+            n_classes=n_classes,
+        )
+        return cls(store)
+
+    # -- properties --------------------------------------------------------
+
+    @property
+    def n_nodes(self) -> int:
+        return self.store.n_nodes
+
+    @property
+    def feats_dim(self) -> int:
+        return self.store.feat_dim
+
+    @property
+    def loss_fn_name(self) -> str:
+        return self.task
+
+    @property
+    def metric_fn_name(self) -> str:
+        return self.task
+
+    # -- device access -----------------------------------------------------
+
+    def device_graph(self, train: bool) -> DeviceGraph:
+        """Upload (once, cached) the train-edge or full-edge graph."""
+        if train not in self._device_graphs:
+            self._device_graphs[train] = self.store.to_device(train=train)
+        return self._device_graphs[train]
+
+    # -- reference-compatible batch generator ------------------------------
+
+    def iterate(
+        self,
+        mode: str = "train",
+        batch_size: int = 512,
+        shuffle: bool = False,
+        seed: Optional[int] = None,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, float]]:
+        """Yield ``(ids, targets, progress)`` host batches (SURVEY.md §3.3).
+
+        ``progress`` is the fraction of this fold consumed after the yielded
+        batch — the reference feeds ``epoch + progress`` to the LR schedule.
+        """
+        idx = self.folds[mode]
+        if shuffle:
+            rng = np.random.default_rng(seed)
+            idx = rng.permutation(idx)
+        n = len(idx)
+        n_batches = max(1, int(np.ceil(n / batch_size)))
+        done = 0
+        for chunk in np.array_split(idx, n_batches):
+            done += len(chunk)
+            yield chunk, self.store.targets[chunk], done / n

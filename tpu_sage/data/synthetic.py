@@ -1,0 +1,157 @@
+"""Synthetic graph generators for tests and benchmarks.
+
+No network access in this environment (SURVEY.md §7.0), so real datasets are
+stand-ins generated locally:
+
+- ``sbm_problem``: a stochastic-block-model graph with class-correlated
+  features — genuinely learnable, used for convergence tests ("Cora-like").
+- ``bench_store``: a Reddit-scale random neighbor table with class-clustered
+  features — shape-realistic for throughput benchmarks (n≈232k, d=602, 41
+  classes, max_degree 128 mirror the real Reddit artifact the reference
+  trains on).
+
+If the driver later provides real dataset files, ``tpu_sage.data.convert``
+ingests them; these generators keep the test/bench suite self-contained.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from tpu_sage.data.problem import FOLD_CODES, NodeProblem
+from tpu_sage.graph.graph_data import GraphStore, build_padded_adjacency
+
+
+def _split_folds(
+    n: int, rng: np.random.Generator, val_frac: float = 0.2, test_frac: float = 0.2
+) -> Dict[str, np.ndarray]:
+    perm = rng.permutation(n)
+    n_val = int(n * val_frac)
+    n_test = int(n * test_frac)
+    return {
+        "val": np.sort(perm[:n_val]).astype(np.int64),
+        "test": np.sort(perm[n_val : n_val + n_test]).astype(np.int64),
+        "train": np.sort(perm[n_val + n_test :]).astype(np.int64),
+    }
+
+
+def fold_codes_from_folds(n: int, folds: Dict[str, np.ndarray]) -> np.ndarray:
+    codes = np.zeros(n, dtype=np.int8)
+    for name, code in FOLD_CODES.items():
+        codes[folds[name]] = code
+    return codes
+
+
+def sbm_store(
+    n_nodes: int = 2708,
+    n_classes: int = 7,
+    feat_dim: int = 64,
+    avg_degree: int = 8,
+    p_in: float = 0.9,
+    feat_noise: float = 1.0,
+    max_degree: int = 32,
+    task: str = "classification",
+    seed: int = 0,
+) -> GraphStore:
+    """Stochastic-block-model GraphStore with class-signal features.
+
+    Each node draws ``avg_degree`` endpoints; with prob ``p_in`` the endpoint
+    is same-class, else uniform. Features are the class centroid (a random
+    unit vector scaled) plus N(0, feat_noise). The train adjacency keeps only
+    edges whose BOTH endpoints are train-fold nodes (the reference's
+    inductive ``train_adj`` semantics, SURVEY.md §2.1).
+    """
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, n_classes, size=n_nodes)
+    by_class = [np.nonzero(labels == c)[0] for c in range(n_classes)]
+
+    src = np.repeat(np.arange(n_nodes), avg_degree)
+    same = rng.random(len(src)) < p_in
+    dst = rng.integers(0, n_nodes, size=len(src))
+    for c in range(n_classes):
+        mask = same & (labels[src] == c)
+        if mask.any() and len(by_class[c]):
+            dst[mask] = rng.choice(by_class[c], size=mask.sum())
+    keep = src != dst
+    edges = np.stack([src[keep], dst[keep]], axis=1)
+
+    folds = _split_folds(n_nodes, rng)
+    adj, degrees = build_padded_adjacency(edges, n_nodes, max_degree, rng)
+    is_train = np.zeros(n_nodes, dtype=bool)
+    is_train[folds["train"]] = True
+    train_edges = edges[is_train[edges[:, 0]] & is_train[edges[:, 1]]]
+    train_adj, train_degrees = build_padded_adjacency(train_edges, n_nodes, max_degree, rng)
+
+    centroids = rng.normal(size=(n_classes, feat_dim)).astype(np.float32)
+    centroids *= 3.0 / np.linalg.norm(centroids, axis=1, keepdims=True)
+    feats = centroids[labels] + rng.normal(
+        scale=feat_noise, size=(n_nodes, feat_dim)
+    ).astype(np.float32)
+
+    if task == "classification":
+        targets = labels.astype(np.int64)
+    elif task == "multilabel_classification":
+        # correlated multilabel: own class always on, a few extra random bits
+        targets = np.zeros((n_nodes, n_classes), dtype=np.float32)
+        targets[np.arange(n_nodes), labels] = 1.0
+        extra = rng.random((n_nodes, n_classes)) < 0.1
+        targets = np.maximum(targets, extra.astype(np.float32))
+    elif task in ("regression", "regression_mae"):
+        w = rng.normal(size=(feat_dim, 1)).astype(np.float32)
+        targets = (feats @ w + rng.normal(scale=0.1, size=(n_nodes, 1))).astype(np.float32)
+    else:
+        raise ValueError(f"unknown task: {task}")
+
+    return GraphStore(
+        adj=adj,
+        degrees=degrees,
+        train_adj=train_adj,
+        train_degrees=train_degrees,
+        feats=feats.astype(np.float32),
+        targets=targets,
+        folds=folds,
+        task=task,
+        n_classes=n_classes,
+    )
+
+
+def sbm_problem(**kwargs) -> NodeProblem:
+    return NodeProblem(sbm_store(**kwargs))
+
+
+def bench_store(
+    n_nodes: int = 232_965,
+    feat_dim: int = 602,
+    n_classes: int = 41,
+    max_degree: int = 128,
+    seed: int = 0,
+) -> GraphStore:
+    """Reddit-shaped random graph for throughput benchmarks.
+
+    Neighbor table is uniform-random ids at full degree (the real Reddit graph
+    after max_degree-128 truncation is ~all-full rows); features are
+    class-clustered so training has signal. Built directly as a padded table —
+    no edge list materialization at 232k × 128 scale.
+    """
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, n_classes, size=n_nodes)
+    adj = rng.integers(0, n_nodes, size=(n_nodes, max_degree), dtype=np.int64).astype(
+        np.int32
+    )
+    degrees = np.full(n_nodes, max_degree, dtype=np.int32)
+    centroids = rng.normal(size=(n_classes, feat_dim)).astype(np.float32)
+    feats = (centroids[labels] + rng.normal(size=(n_nodes, feat_dim))).astype(np.float32)
+    folds = _split_folds(n_nodes, rng, val_frac=0.1, test_frac=0.1)
+    return GraphStore(
+        adj=adj,
+        degrees=degrees,
+        train_adj=adj,
+        train_degrees=degrees,
+        feats=feats,
+        targets=labels.astype(np.int64),
+        folds=folds,
+        task="classification",
+        n_classes=n_classes,
+    )

@@ -1,0 +1,185 @@
+"""Aggregator modules: combine a node's vector with its sampled neighborhood.
+
+Reference surface (``nn_modules.py``, SURVEY.md §2.1): mean / max-pool /
+mean-pool / LSTM / attention aggregators, all sharing the combine idiom
+
+    out = activation(concat(W_self · x_self, W_neigh · summarize(x_neigh)))
+
+so the output width is ``2 * output_dim`` (each branch projects to
+``output_dim``). The exact concat-vs-add variant is a SURVEY §8 verify item;
+``combine='concat'`` is the default and ``'add'`` is available (paper-style
+single-width output). A ``'gcn'`` aggregator (paper variant: no separate self
+branch) is included beyond the reference surface.
+
+TPU notes: every aggregator is (batched matmul over the flattened level) +
+(reduction over the fanout axis) — XLA fuses the elementwise tail into the
+matmul epilogue and tiles the matmuls onto the MXU. The LSTM aggregator is a
+``flax.linen.RNN``/``lax.scan`` over the fanout axis (≤ 25 steps, fully
+on-chip; replaces the reference's cuDNN LSTM — SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+Activation = Optional[Callable[[jnp.ndarray], jnp.ndarray]]
+
+
+def _combine(
+    module: nn.Module,
+    x_self: jnp.ndarray,
+    neigh_summary: jnp.ndarray,
+    output_dim: int,
+    combine: str,
+    activation: Activation,
+    use_bias: bool,
+) -> jnp.ndarray:
+    """Shared self/neighbor combine: two projections, concat or add."""
+    h_self = nn.Dense(output_dim, use_bias=use_bias, name="fc_self")(x_self)
+    h_neigh = nn.Dense(output_dim, use_bias=use_bias, name="fc_neigh")(neigh_summary)
+    if combine == "concat":
+        out = jnp.concatenate([h_self, h_neigh], axis=-1)
+    elif combine == "add":
+        out = h_self + h_neigh
+    else:
+        raise ValueError(f"unknown combine: {combine}")
+    if activation is not None:
+        out = activation(out)
+    return out
+
+
+class MeanAggregator(nn.Module):
+    """``concat(W_self·x, W_neigh·mean(neighbors))`` (SURVEY.md §2.1)."""
+
+    output_dim: int
+    activation: Activation = nn.relu
+    combine: str = "concat"
+    use_bias: bool = False
+    hidden_dim: int = 0  # unused; uniform ctor surface
+
+    @nn.compact
+    def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
+        summary = jnp.mean(x_neigh, axis=1)
+        return _combine(self, x_self, summary, self.output_dim, self.combine,
+                        self.activation, self.use_bias)
+
+
+class PoolAggregator(nn.Module):
+    """Per-neighbor MLP then an elementwise pool over the fanout axis.
+
+    ``MaxPoolAggregator`` / ``MeanPoolAggregator`` below fix ``pool``. The
+    per-neighbor MLP is a single Dense+ReLU of width ``hidden_dim`` (paper's
+    pooling architecture; reference default hidden 512 — SURVEY.md §2.1).
+    """
+
+    output_dim: int
+    pool: str = "max"
+    hidden_dim: int = 512
+    activation: Activation = nn.relu
+    combine: str = "concat"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
+        h = nn.relu(nn.Dense(self.hidden_dim, name="mlp")(x_neigh))  # (B, F, H)
+        if self.pool == "max":
+            summary = jnp.max(h, axis=1)
+        elif self.pool == "mean":
+            summary = jnp.mean(h, axis=1)
+        else:
+            raise ValueError(f"unknown pool: {self.pool}")
+        return _combine(self, x_self, summary, self.output_dim, self.combine,
+                        self.activation, self.use_bias)
+
+
+class MaxPoolAggregator(PoolAggregator):
+    pool: str = "max"
+
+
+class MeanPoolAggregator(PoolAggregator):
+    pool: str = "mean"
+
+
+class LSTMAggregator(nn.Module):
+    """LSTM over the sampled-neighbor sequence; final hidden state summarizes.
+
+    The neighbor order is already random (sampling is i.i.d.), matching the
+    paper's "LSTM over a random permutation" trick. Parity tests must fix
+    neighbor order (SURVEY.md §7.3 #5). ``lax.scan`` under the hood — on-chip,
+    no cuDNN analog needed.
+    """
+
+    output_dim: int
+    hidden_dim: int = 512
+    activation: Activation = nn.relu
+    combine: str = "concat"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
+        rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden_dim), name="lstm")
+        hs = rnn(x_neigh)               # (B, F, H)
+        summary = hs[:, -1, :]          # final hidden state
+        return _combine(self, x_self, summary, self.output_dim, self.combine,
+                        self.activation, self.use_bias)
+
+
+class AttentionAggregator(nn.Module):
+    """Softmax attention of the self vector over neighbor vectors.
+
+    bkj extension beyond the paper (SURVEY.md §2.1, presence [K-med]):
+    ``α = softmax(⟨q(x_self), k(neighbors)⟩)``; summary ``Σ α·v(neighbors)``.
+    """
+
+    output_dim: int
+    hidden_dim: int = 32  # attention key width
+    activation: Activation = nn.relu
+    combine: str = "concat"
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
+        q = nn.Dense(self.hidden_dim, use_bias=False, name="att_q")(x_self)       # (B, K)
+        k = nn.Dense(self.hidden_dim, use_bias=False, name="att_k")(x_neigh)      # (B, F, K)
+        scores = jnp.einsum("bk,bfk->bf", q, k) / jnp.sqrt(float(self.hidden_dim))
+        alpha = nn.softmax(scores, axis=-1)                                        # (B, F)
+        summary = jnp.einsum("bf,bfd->bd", alpha, x_neigh)
+        return _combine(self, x_self, summary, self.output_dim, self.combine,
+                        self.activation, self.use_bias)
+
+
+class GCNAggregator(nn.Module):
+    """Paper's GCN variant: single projection of mean(self ∪ neighbors).
+
+    No separate self branch; output width is ``output_dim`` (not doubled).
+    Beyond the bkj surface — included for paper parity (Hamilton et al. §3).
+    """
+
+    output_dim: int
+    activation: Activation = nn.relu
+    combine: str = "concat"  # ignored; GCN has one branch
+    use_bias: bool = True
+    hidden_dim: int = 0
+
+    @nn.compact
+    def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
+        both = jnp.concatenate([x_self[:, None, :], x_neigh], axis=1)
+        summary = jnp.mean(both, axis=1)
+        out = nn.Dense(self.output_dim, use_bias=self.use_bias, name="fc")(summary)
+        if self.activation is not None:
+            out = self.activation(out)
+        return out
+
+
+aggregator_lookup = {
+    "mean": MeanAggregator,
+    "max_pool": MaxPoolAggregator,
+    "mean_pool": MeanPoolAggregator,
+    "lstm": LSTMAggregator,
+    "attention": AttentionAggregator,
+    "gcn": GCNAggregator,
+}

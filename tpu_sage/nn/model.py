@@ -1,0 +1,146 @@
+"""The supervised GraphSAGE model (reference: ``models.py::GSSupervised``).
+
+Architecture per SURVEY.md §3.2: sampling builds a static-shape neighborhood
+tree (done *outside* the network — see ``tpu_sage.sample``); the network
+prepares level-0..L features with a shared prep module, then collapses the
+tree top-down with one aggregator per layer (that layer's weights applied at
+every remaining depth), L2-normalizes the final embedding, and applies a
+linear classifier head.
+
+Everything is static-shape; the whole forward is one traced XLA computation —
+gathers, matmuls, fanout-axis reductions — with no python control flow
+dependent on data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from tpu_sage.nn.aggregators import aggregator_lookup
+from tpu_sage.nn.preps import prep_lookup
+from tpu_sage.sample.sampler import sample_tree
+
+activation_lookup = {
+    "relu": nn.relu,
+    "elu": nn.elu,
+    "tanh": jnp.tanh,
+    "identity": None,
+    None: None,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    """One aggregation layer (reference ``train.py`` builds these from flags).
+
+    ``n_train_samples`` / ``n_val_samples`` are the fanouts used during
+    training vs evaluation (reference defaults 25,10 train; larger at val —
+    SURVEY.md §2.4 #3).
+    """
+
+    n_train_samples: int = 25
+    n_val_samples: int = 25
+    output_dim: int = 128
+    activation: Optional[str] = "relu"
+
+
+def default_layer_specs(
+    fanouts: Sequence[int] = (25, 10),
+    val_fanouts: Optional[Sequence[int]] = None,
+    output_dims: Sequence[int] = (128, 128),
+) -> Tuple[LayerSpec, ...]:
+    """The reference's canonical 2-layer spec: fanout (25, 10), dims (128, 128),
+    ReLU on all but the last layer."""
+    if val_fanouts is None:
+        val_fanouts = fanouts
+    n = len(fanouts)
+    return tuple(
+        LayerSpec(
+            n_train_samples=int(f),
+            n_val_samples=int(v),
+            output_dim=int(d),
+            activation="relu" if i < n - 1 else "identity",
+        )
+        for i, (f, v, d) in enumerate(zip(fanouts, val_fanouts, output_dims))
+    )
+
+
+class GSSupervised(nn.Module):
+    """Supervised GraphSAGE: prep → L aggregation passes → normalize → head.
+
+    Call with the per-level flat id arrays from ``sample_tree`` (or injected
+    tables, for parity tests) and the full feature array.
+    """
+
+    layer_specs: Tuple[LayerSpec, ...]
+    n_classes: int
+    aggregator_class: str = "mean"
+    prep_class: str = "identity"
+    n_nodes: int = 0
+    embedding_dim: int = 64
+    combine: str = "concat"
+    normalize: bool = True
+    agg_hidden_dim: int = 512
+
+    def setup(self):
+        prep_cls = prep_lookup[self.prep_class]
+        self.prep = prep_cls(n_nodes=self.n_nodes, embedding_dim=self.embedding_dim)
+        agg_cls = aggregator_lookup[self.aggregator_class]
+        self.agg_layers = [
+            agg_cls(
+                output_dim=spec.output_dim,
+                activation=activation_lookup[spec.activation],
+                combine=self.combine,
+                hidden_dim=self.agg_hidden_dim,
+            )
+            for spec in self.layer_specs
+        ]
+        self.fc = nn.Dense(self.n_classes, name="fc")
+
+    def encode(self, levels: List[jnp.ndarray], feats: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """Collapse the neighborhood tree into per-root embeddings ``(B, D)``."""
+        if len(levels) != len(self.layer_specs) + 1:
+            raise ValueError(
+                f"need {len(self.layer_specs) + 1} tree levels, got {len(levels)}"
+            )
+        h = [self.prep(ids, feats) for ids in levels]
+        for agg in self.agg_layers:
+            nxt = []
+            for d in range(len(h) - 1):
+                n_self = h[d].shape[0]
+                x_neigh = h[d + 1].reshape(n_self, -1, h[d + 1].shape[-1])
+                nxt.append(agg(h[d], x_neigh))
+            h = nxt
+        out = h[0]
+        if self.normalize:
+            out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        return out
+
+    def __call__(self, levels: List[jnp.ndarray], feats: Optional[jnp.ndarray]) -> jnp.ndarray:
+        return self.fc(self.encode(levels, feats))
+
+    # -- convenience -------------------------------------------------------
+
+    def fanouts(self, train: bool) -> Tuple[int, ...]:
+        return tuple(
+            (s.n_train_samples if train else s.n_val_samples) for s in self.layer_specs
+        )
+
+    def forward_with_sampling(
+        self,
+        key: jax.Array,
+        graph_adj: jnp.ndarray,
+        graph_degrees: jnp.ndarray,
+        ids: jnp.ndarray,
+        feats: Optional[jnp.ndarray],
+        train: bool,
+    ) -> jnp.ndarray:
+        """Sample the tree then run the network (the reference's
+        ``forward(ids, feats, train=)`` contract, SURVEY.md §3.2)."""
+        levels = sample_tree(key, graph_adj, graph_degrees, ids, self.fanouts(train))
+        return self(levels, feats)

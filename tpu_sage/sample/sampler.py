@@ -1,0 +1,90 @@
+"""On-device fixed-fanout uniform neighbor sampling.
+
+The reference's ``UniformNeighborSampler`` (SURVEY.md §2.1: gather ``adj[ids]``
+then pick ``n_samples`` random columns; static output shape) becomes a pure
+jittable function of a PRNG key. Sampling is **with replacement** from the
+true neighbors (columns ``[0, max(degree, 1))``), matching the upstream
+GraphSAGE behavior when ``degree < fanout``; padding slots are never selected
+(see graph_data.py for the padding idiom), and degree-0 nodes self-loop.
+
+TPU notes: the whole thing is one ``uniform`` + one 2-D gather per layer —
+static shapes, no host sync, fuses into the surrounding step under jit.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def uniform_neighbor_sample(
+    key: jax.Array,
+    adj: jnp.ndarray,
+    degrees: jnp.ndarray,
+    ids: jnp.ndarray,
+    n_samples: int,
+) -> jnp.ndarray:
+    """Sample ``n_samples`` neighbors per node, with replacement.
+
+    Args:
+      key: PRNG key.
+      adj: ``(n_nodes, max_degree)`` int32 padded neighbor table.
+      degrees: ``(n_nodes,)`` int32 true degrees (≤ max_degree).
+      ids: ``(B,)`` int32 node ids.
+      n_samples: fanout (static).
+
+    Returns:
+      ``(B, n_samples)`` int32 neighbor ids.
+    """
+    ids = ids.astype(jnp.int32)
+    deg = jnp.maximum(degrees[ids], 1)  # degree-0 -> draw col 0 == self pad
+    u = jax.random.uniform(key, (ids.shape[0], n_samples))
+    # floor(u * deg) in [0, deg); guard the u==1.0-epsilon edge with a min.
+    cols = jnp.minimum((u * deg[:, None].astype(u.dtype)).astype(jnp.int32), deg[:, None] - 1)
+    return adj[ids[:, None], cols]
+
+
+def sample_tree(
+    key: jax.Array,
+    adj: jnp.ndarray,
+    degrees: jnp.ndarray,
+    ids: jnp.ndarray,
+    fanouts: Sequence[int],
+) -> List[jnp.ndarray]:
+    """Build the static-shape neighborhood tree bottom-up (SURVEY.md §3.2).
+
+    Level 0 is ``ids`` with shape ``(B,)``; level ``l`` has shape
+    ``(B * prod(fanouts[:l]),)``. Returns the list of flat id arrays per level.
+    The model consumes these levels; keeping sampling outside the network is
+    the determinism seam the parity tests rely on (SURVEY.md §4.2): tests can
+    inject precomputed tables instead.
+    """
+    levels = [ids.astype(jnp.int32)]
+    for fanout in fanouts:
+        key, sub = jax.random.split(key)
+        nbr = uniform_neighbor_sample(sub, adj, degrees, levels[-1], fanout)
+        levels.append(nbr.reshape(-1))
+    return levels
+
+
+class UniformNeighborSampler:
+    """Object wrapper mirroring the reference API (``sampler(ids, n_samples)``).
+
+    Binds the adjacency once; each call consumes an explicit PRNG key — the
+    RNG-architecture rule (SURVEY.md §7.3 #2) is one threaded key, never hidden
+    state.
+    """
+
+    def __init__(self, adj: jnp.ndarray, degrees: jnp.ndarray):
+        self.adj = adj
+        self.degrees = degrees
+
+    def __call__(self, key: jax.Array, ids: jnp.ndarray, n_samples: int) -> jnp.ndarray:
+        return uniform_neighbor_sample(key, self.adj, self.degrees, ids, n_samples)
+
+
+sampler_lookup = {
+    "uniform_neighbor_sampler": UniformNeighborSampler,
+}

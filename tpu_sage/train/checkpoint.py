@@ -1,0 +1,67 @@
+"""Checkpoint / resume: params + optimizer state + step + PRNG key.
+
+The reference saves nothing (SURVEY.md §5.4) — we exceed it deliberately:
+multi-host runs are fail-stop under JAX/PJRT and restart from the latest
+checkpoint. Format is a single ``.npz`` of the flattened state pytree (keys
+are ``/``-joined paths) — dependency-light, portable, and byte-identical
+across hosts for the divergence checks in debug mode (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_sage.train.trainer import TrainState
+
+
+def _path_str(p) -> str:
+    for attr in ("key", "idx", "name"):
+        if hasattr(p, attr):
+            return str(getattr(p, attr))
+    return str(p)
+
+
+def _flatten_with_paths(tree: Any):
+    return [
+        ("/".join(_path_str(p) for p in path), leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+    ]
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    """Write the full TrainState to ``path`` (.npz)."""
+    d = os.path.dirname(os.path.abspath(path))
+    if d:
+        os.makedirs(d, exist_ok=True)
+    # PRNG keys are opaque typed arrays; persist their raw uint32 data
+    storable = state.replace(key=jax.random.key_data(state.key))
+    flat = {k: np.asarray(v) for k, v in _flatten_with_paths(storable)}
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore into the shape of ``template`` (same model/optimizer config)."""
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    storable_template = template.replace(key=jax.random.key_data(template.key))
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(storable_template)
+    leaves = []
+    for path_t, leaf in paths_leaves:
+        key = "/".join(_path_str(p) for p in path_t)
+        if key not in flat:
+            raise KeyError(f"checkpoint {path} missing entry {key!r}")
+        stored = flat[key]
+        if stored.shape != np.shape(leaf):
+            raise ValueError(
+                f"checkpoint mismatch at {key}: {stored.shape} vs {np.shape(leaf)}"
+            )
+        leaves.append(jnp.asarray(stored, dtype=np.asarray(leaf).dtype))
+    restored = jax.tree_util.tree_unflatten(treedef, leaves)
+    return restored.replace(key=jax.random.wrap_key_data(restored.key))

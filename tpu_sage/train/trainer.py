@@ -1,0 +1,392 @@
+"""Training machinery: jit'd steps, on-device epoch batching, the fit loop.
+
+Reference counterpart: the epoch loop in ``train.py`` plus
+``GSSupervised.train_step`` (SURVEY.md §3.1). TPU re-design decisions:
+
+- **Zero per-step host traffic.** Fold ids and targets live on device; an
+  epoch's batches are a PRNG permutation + reshape. The hot path is
+  ``train_epoch`` — a single jit'd ``lax.scan`` over all batches; the step-wise
+  path exists for logging-heavy runs and mirrors it exactly.
+- **LR inside the step.** The reference mutates the optimizer's LR every batch
+  from fractional epoch progress; here the schedule is a pure function of the
+  step counter baked into the optax chain — same math, no host round-trip.
+- **Donated state.** ``state`` is donated through jit, so params/opt buffers
+  update in place in HBM.
+- **Eval with masking.** Static shapes require fixed batch sizes; eval folds
+  are padded to a multiple of the batch and metric counts are mask-weighted,
+  so every fold node counts exactly once (the reference's ``array_split``
+  ragged batching is a host-side luxury we don't want on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from tpu_sage.graph.graph_data import DeviceGraph
+from tpu_sage.nn.model import GSSupervised, LayerSpec, default_layer_specs
+from tpu_sage.sample.sampler import sample_tree
+from tpu_sage.train.losses import loss_lookup
+from tpu_sage.train.lr import LRSchedule
+from tpu_sage.train.metrics import metric_lookup
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # () int32
+    key: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Flat, json-loadable run config (SURVEY.md §5.6). Field names follow the
+    reference's CLI flags where they exist."""
+
+    aggregator_class: str = "mean"
+    prep_class: str = "identity"
+    n_train_samples: Tuple[int, ...] = (25, 10)
+    n_val_samples: Tuple[int, ...] = (25, 10)
+    output_dims: Tuple[int, ...] = (128, 128)
+    batch_size: int = 256
+    epochs: int = 10
+    lr_init: float = 0.01
+    lr_schedule: str = "constant"
+    lr_kwargs: Tuple[Tuple[str, Any], ...] = ()
+    weight_decay: float = 0.0
+    optimizer: str = "adam"
+    seed: int = 123
+    combine: str = "concat"
+    normalize: bool = True
+    agg_hidden_dim: int = 512
+    embedding_dim: int = 64
+    param_dtype: str = "float32"
+
+    @classmethod
+    def from_json(cls, path: str) -> "TrainConfig":
+        with open(path) as f:
+            d = json.load(f)
+        for k in ("n_train_samples", "n_val_samples", "output_dims"):
+            if k in d:
+                d[k] = tuple(d[k])
+        if "lr_kwargs" in d:
+            d["lr_kwargs"] = tuple(sorted(d["lr_kwargs"].items()))
+        return cls(**d)
+
+
+def build_model(config: TrainConfig, n_nodes: int, n_classes: int) -> GSSupervised:
+    specs = default_layer_specs(
+        fanouts=config.n_train_samples,
+        val_fanouts=config.n_val_samples,
+        output_dims=config.output_dims,
+    )
+    return GSSupervised(
+        layer_specs=specs,
+        n_classes=n_classes,
+        aggregator_class=config.aggregator_class,
+        prep_class=config.prep_class,
+        n_nodes=n_nodes,
+        embedding_dim=config.embedding_dim,
+        combine=config.combine,
+        normalize=config.normalize,
+        agg_hidden_dim=config.agg_hidden_dim,
+    )
+
+
+def build_optimizer(config: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    """Adam (reference default) with the per-batch LR schedule compiled in:
+    ``lr(step) = schedule(step / steps_per_epoch)``."""
+    sched_factory = LRSchedule.lookup[config.lr_schedule]
+    kwargs = dict(config.lr_kwargs)
+    kwargs.setdefault("epochs", float(config.epochs))
+    sched = sched_factory(lr_init=config.lr_init, **kwargs)
+
+    def lr_fn(step):
+        return sched(step.astype(jnp.float32) / float(steps_per_epoch))
+
+    if config.optimizer == "adam":
+        tx = optax.adam(learning_rate=lr_fn)
+    elif config.optimizer == "sgd":
+        tx = optax.sgd(learning_rate=lr_fn)
+    else:
+        raise ValueError(f"unknown optimizer: {config.optimizer}")
+    if config.weight_decay:
+        # reference uses torch Adam(weight_decay=) == L2 penalty added to grads
+        tx = optax.chain(optax.add_decayed_weights(config.weight_decay), tx)
+    return tx
+
+
+class Trainer:
+    """Owns model/optimizer/state and the jit'd step functions."""
+
+    def __init__(
+        self,
+        model: GSSupervised,
+        config: TrainConfig,
+        steps_per_epoch: int,
+        loss_fn: Optional[Callable] = None,
+        metric_fn: Optional[Callable] = None,
+        task: str = "classification",
+    ):
+        self.model = model
+        self.config = config
+        self.task = task
+        self.loss_fn = loss_fn or loss_lookup[task]
+        self.metric_fn = metric_fn or metric_lookup[task]
+        self.steps_per_epoch = steps_per_epoch
+        self.tx = build_optimizer(config, steps_per_epoch)
+        self._lr_fn = None  # derived below for logging
+
+        sched_factory = LRSchedule.lookup[config.lr_schedule]
+        kwargs = dict(config.lr_kwargs)
+        kwargs.setdefault("epochs", float(config.epochs))
+        sched = sched_factory(lr_init=config.lr_init, **kwargs)
+        self._lr_fn = lambda step: sched(jnp.asarray(step, jnp.float32) / float(steps_per_epoch))
+
+    # -- state -------------------------------------------------------------
+
+    def init_state(self, graph: DeviceGraph, key: Optional[jax.Array] = None) -> TrainState:
+        if key is None:
+            key = jax.random.key(self.config.seed)
+        key, init_key, state_key = jax.random.split(key, 3)
+        fanouts = self.model.fanouts(train=True)
+        b = min(self.config.batch_size, 8)
+        dummy_ids = jnp.zeros((b,), dtype=jnp.int32)
+        levels = [dummy_ids]
+        for f in fanouts:
+            levels.append(jnp.zeros((levels[-1].shape[0] * f,), dtype=jnp.int32))
+        params = self.model.init(init_key, levels, graph.feats)
+        opt_state = self.tx.init(params)
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=jnp.zeros((), dtype=jnp.int32),
+            key=state_key,
+        )
+
+    # -- single step (logging-friendly path) --------------------------------
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(
+        self,
+        state: TrainState,
+        graph: DeviceGraph,
+        ids: jnp.ndarray,
+        targets: jnp.ndarray,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        key, sample_key = jax.random.split(state.key)
+        fanouts = self.model.fanouts(train=True)
+
+        def loss_of(params):
+            levels = sample_tree(sample_key, graph.adj, graph.degrees, ids, fanouts)
+            logits = self.model.apply(params, levels, graph.feats)
+            return self.loss_fn(logits, targets), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1, key=key
+        )
+        metrics = {
+            "loss": loss,
+            "metric": self.metric_fn(logits, targets),
+            "lr": self._lr_fn(state.step),
+        }
+        return new_state, metrics
+
+    # -- whole-epoch scan (throughput path) ---------------------------------
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_epoch(
+        self,
+        state: TrainState,
+        graph: DeviceGraph,
+        fold_ids: jnp.ndarray,      # (n_fold,) int32, padded to B*n_batches
+        fold_targets: jnp.ndarray,  # (n_fold, ...) aligned with fold_ids
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """One epoch as a single XLA computation: permute → reshape → scan."""
+        b = self.config.batch_size
+        n_batches = fold_ids.shape[0] // b
+        n = n_batches * b
+        key, perm_key = jax.random.split(state.key)
+        perm = jax.random.permutation(perm_key, fold_ids.shape[0])[:n]
+        ids_b = fold_ids[perm].reshape(n_batches, b)
+        tgt_b = fold_targets[perm].reshape((n_batches, b) + fold_targets.shape[1:])
+        state = TrainState(
+            params=state.params, opt_state=state.opt_state, step=state.step, key=key
+        )
+
+        fanouts = self.model.fanouts(train=True)
+
+        def body(carry, batch):
+            st = carry
+            ids, targets = batch
+            k, sample_key = jax.random.split(st.key)
+
+            def loss_of(params):
+                levels = sample_tree(sample_key, graph.adj, graph.degrees, ids, fanouts)
+                logits = self.model.apply(params, levels, graph.feats)
+                return self.loss_fn(logits, targets)
+
+            loss, grads = jax.value_and_grad(loss_of)(st.params)
+            updates, opt_state = self.tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            nxt = TrainState(params=params, opt_state=opt_state, step=st.step + 1, key=k)
+            return nxt, loss
+
+        state, losses = jax.lax.scan(body, state, (ids_b, tgt_b))
+        return state, {"loss": losses.mean(), "lr": self._lr_fn(state.step - 1)}
+
+    # -- evaluation ---------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=0)
+    def eval_fold(
+        self,
+        params: Any,
+        graph: DeviceGraph,
+        key: jax.Array,
+        ids_padded: jnp.ndarray,      # (n_batches, B) int32
+        targets_padded: jnp.ndarray,  # (n_batches, B, ...)
+        mask_padded: jnp.ndarray,     # (n_batches, B) float32
+    ) -> Dict[str, jnp.ndarray]:
+        """Masked full-fold evaluation with val fanouts on the given graph
+        (full adjacency at call sites — the inductive protocol, SURVEY.md §3.5).
+
+        Returns mask-weighted global counts so accuracy / micro-F1 are exact
+        over the fold regardless of padding.
+        """
+        fanouts = self.model.fanouts(train=False)
+
+        def body(k, batch):
+            ids, targets, mask = batch
+            k, sample_key = jax.random.split(k)
+            levels = sample_tree(sample_key, graph.adj, graph.degrees, ids, fanouts)
+            logits = self.model.apply(params, levels, graph.feats)
+            if self.task == "classification":
+                correct = jnp.sum(
+                    (jnp.argmax(logits, -1) == targets.astype(jnp.int32)) * mask
+                )
+                stats = jnp.array([correct, mask.sum(), 0.0, 0.0])
+            elif self.task == "multilabel_classification":
+                preds = (logits > 0).astype(jnp.float32) * mask[:, None]
+                t = targets.astype(jnp.float32) * mask[:, None]
+                tp = jnp.sum(preds * t)
+                fp = jnp.sum(preds * (1 - t) * mask[:, None])
+                fn = jnp.sum((1 - preds) * t * mask[:, None])
+                stats = jnp.array([tp, fp, fn, 0.0])
+            else:  # regression: sum of (abs) errors + count
+                err = logits - targets.astype(logits.dtype)
+                se = jnp.sum(jnp.square(err) * mask[:, None])
+                ae = jnp.sum(jnp.abs(err) * mask[:, None])
+                cnt = mask.sum() * logits.shape[-1]
+                stats = jnp.array([se, ae, cnt, 0.0])
+            return k, stats
+
+        _, stats = jax.lax.scan(body, key, (ids_padded, targets_padded, mask_padded))
+        s = stats.sum(axis=0)
+        if self.task == "classification":
+            return {"metric": s[0] / jnp.maximum(s[1], 1.0)}
+        if self.task == "multilabel_classification":
+            return {"metric": 2 * s[0] / jnp.maximum(2 * s[0] + s[1] + s[2], 1e-12)}
+        if self.task == "regression":
+            return {"metric": -s[0] / jnp.maximum(s[2], 1.0)}
+        return {"metric": -s[1] / jnp.maximum(s[2], 1.0)}
+
+    def evaluate(
+        self,
+        params: Any,
+        graph: DeviceGraph,
+        ids: np.ndarray,
+        targets: np.ndarray,
+        key: jax.Array,
+        batch_size: Optional[int] = None,
+    ) -> float:
+        """Host wrapper: pad the fold, run ``eval_fold``, return the scalar."""
+        b = batch_size or self.config.batch_size
+        n = len(ids)
+        n_batches = max(1, -(-n // b))
+        pad = n_batches * b - n
+        ids_p = np.concatenate([ids, np.zeros(pad, dtype=ids.dtype)])
+        tgt_p = np.concatenate([targets, np.zeros((pad,) + targets.shape[1:], dtype=targets.dtype)])
+        mask_p = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+        out = self.eval_fold(
+            params,
+            graph,
+            key,
+            jnp.asarray(ids_p.reshape(n_batches, b), jnp.int32),
+            jnp.asarray(tgt_p.reshape((n_batches, b) + targets.shape[1:])),
+            jnp.asarray(mask_p.reshape(n_batches, b)),
+        )
+        return float(out["metric"])
+
+
+def fit(
+    problem,
+    config: TrainConfig,
+    log: Callable[[Dict], None] = None,
+    eval_every_epoch: bool = True,
+    resume_from: Optional[str] = None,
+) -> Tuple[Trainer, TrainState, list]:
+    """End-to-end training on a NodeProblem (reference ``train.py`` contract):
+    per-epoch train over the train fold with per-batch LR, validation on the
+    full graph with val fanouts, JSON metric line per epoch.
+
+    ``resume_from``: checkpoint path; if the file exists, training state
+    (params, optimizer, step, PRNG key) restarts from it (SURVEY.md §5.3-5.4).
+    """
+    import os
+
+    if log is None:
+        log = lambda d: print(json.dumps(d), flush=True)
+
+    train_ids = problem.folds["train"]
+    steps_per_epoch = max(1, len(train_ids) // config.batch_size)
+    model = build_model(config, problem.n_nodes, problem.n_classes)
+    trainer = Trainer(model, config, steps_per_epoch, task=problem.task)
+
+    graph_train = problem.device_graph(train=True)
+    graph_full = problem.device_graph(train=False)
+    state = trainer.init_state(graph_train)
+    if resume_from and os.path.exists(resume_from):
+        from tpu_sage.train.checkpoint import load_checkpoint
+
+        state = load_checkpoint(resume_from, state)
+        log({"resumed_from": resume_from, "step": int(state.step)})
+
+    fold_ids = jnp.asarray(train_ids, jnp.int32)
+    fold_targets = jnp.asarray(problem.store.targets[train_ids])
+    eval_key = jax.random.key(config.seed + 1)
+
+    history = []
+    for epoch in range(config.epochs):
+        t0 = time.time()
+        state, train_metrics = trainer.train_epoch(state, graph_train, fold_ids, fold_targets)
+        train_loss = float(train_metrics["loss"])
+        elapsed = time.time() - t0
+        rec = {
+            "epoch": epoch,
+            "train_loss": train_loss,
+            "lr": float(train_metrics["lr"]),
+            "elapsed": round(elapsed, 4),
+        }
+        if eval_every_epoch:
+            val_ids = problem.folds["val"]
+            if len(val_ids):
+                rec["val_metric"] = trainer.evaluate(
+                    state.params, graph_full, val_ids,
+                    problem.store.targets[val_ids], eval_key,
+                )
+        history.append(rec)
+        log(rec)
+    return trainer, state, history
