@@ -1,0 +1,99 @@
+"""Headline benchmark: Reddit-shaped GraphSAGE-mean edges/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
+
+``vs_baseline`` is measured edges/s divided by the PyTorch baseline recorded
+in BASELINE_MEASURED.json (the reference publishes no numbers and the mount
+is empty — BASELINE.md; the baseline is the reference-semantics torch impl in
+tpu_sage/bench/torch_baseline.py measured on this machine). The [B] target is
+vs_baseline ≥ 2.0 at matching model semantics.
+
+Method: device-resident Reddit-shaped graph (232 965 nodes × 602 feats,
+max_degree 128), batch 512, fanout (25, 10), 2-layer mean aggregator, hidden
+128 — the reference's canonical Reddit config (SURVEY.md §2.4 #7). The timed
+unit is the jit'd whole-epoch ``lax.scan`` (zero host traffic per step);
+edges/s = steps · B·(f₁ + f₁·f₂) / elapsed, with ``block_until_ready`` fences.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_sage.data.synthetic import bench_store
+    from tpu_sage.data.problem import NodeProblem
+    from tpu_sage.train.trainer import TrainConfig, Trainer, build_model
+
+    batch_size = int(os.environ.get("BENCH_BATCH", 512))
+    fanouts = (25, 10)
+    store = bench_store()
+    problem = NodeProblem(store)
+
+    config = TrainConfig(
+        batch_size=batch_size,
+        n_train_samples=fanouts,
+        n_val_samples=fanouts,
+        output_dims=(128, 128),
+        epochs=3,
+        lr_init=0.01,
+        param_dtype=os.environ.get("BENCH_DTYPE", "float32"),
+    )
+    train_ids = problem.folds["train"]
+    steps_per_epoch = len(train_ids) // batch_size
+    model = build_model(config, problem.n_nodes, problem.n_classes)
+    trainer = Trainer(model, config, steps_per_epoch, task=problem.task)
+    graph = problem.device_graph(train=True)
+    state = trainer.init_state(graph)
+
+    n = steps_per_epoch * batch_size
+    fold_ids = jnp.asarray(train_ids[:n], jnp.int32)
+    fold_targets = jnp.asarray(store.targets[train_ids[:n]])
+
+    # warmup (compile + first epoch). NOTE: forcing is a host transfer
+    # (float()), not block_until_ready — on the axon backend chained
+    # dispatches that are never host-forced can report ready early, which
+    # once produced a nonsense 81e9 edges/s reading. float() is sync-exact.
+    state, m = trainer.train_epoch(state, graph, fold_ids, fold_targets)
+    float(m["loss"])
+
+    timed_epochs = int(os.environ.get("BENCH_EPOCHS", 2))
+    dt = 0.0
+    for _ in range(timed_epochs):
+        t0 = time.perf_counter()
+        state, m = trainer.train_epoch(state, graph, fold_ids, fold_targets)
+        float(m["loss"])  # hard sync per epoch; ~µs vs the 2.5 s epoch
+        dt += time.perf_counter() - t0
+
+    f1, f2 = fanouts
+    edges_per_step = batch_size * (f1 + f1 * f2)
+    total_steps = timed_epochs * steps_per_epoch
+    edges_per_sec = total_steps * edges_per_step / dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    vs = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            vs = edges_per_sec / json.load(f)["torch_edges_per_sec"]
+
+    print(json.dumps({
+        "metric": "reddit_shaped_graphsage_mean_edges_per_sec_per_chip",
+        "value": round(edges_per_sec, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

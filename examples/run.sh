@@ -1,0 +1,34 @@
+#!/usr/bin/env bash
+# Smoke-run script (reference counterpart: run.sh, the de-facto test —
+# SURVEY.md §4.1). No network in this environment, so the "download example
+# data" step becomes generating a synthetic problem.h5 via our ETL, then the
+# canonical supervised + unsupervised invocations.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+export PALLAS_AXON_POOL_IPS=${USE_TPU:+$PALLAS_AXON_POOL_IPS}
+if [ -z "${USE_TPU:-}" ]; then
+  export PALLAS_AXON_POOL_IPS="" JAX_PLATFORMS=cpu
+fi
+
+OUT=${OUT:-/tmp/tpu_sage_example}
+mkdir -p "$OUT"
+
+python - <<EOF
+from tpu_sage.data.synthetic import sbm_store
+from tpu_sage.data.convert import save_problem_h5
+save_problem_h5(sbm_store(n_nodes=2708, n_classes=7, feat_dim=64, seed=0),
+                "$OUT/problem.h5")
+print("wrote $OUT/problem.h5")
+EOF
+
+echo "== supervised (cora-style mean) =="
+python -m tpu_sage.cli --problem-path "$OUT/problem.h5" \
+  --aggregator-class mean --n-train-samples 25,10 --n-val-samples 25,10 \
+  --batch-size 256 --epochs 5 --lr-init 0.01 \
+  --checkpoint-path "$OUT/model.npz"
+
+echo "== unsupervised (skip-gram neg-sampling) =="
+python -m tpu_sage.cli --problem-path "$OUT/problem.h5" \
+  --aggregator-class mean --n-train-samples 10,5 --n-val-samples 10,5 \
+  --batch-size 256 --epochs 3 --unsupervised

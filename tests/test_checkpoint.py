@@ -1,0 +1,76 @@
+"""Checkpoint save/restore roundtrip and resume-continuity."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_sage.data.synthetic import sbm_problem
+from tpu_sage.train.checkpoint import load_checkpoint, save_checkpoint
+from tpu_sage.train.trainer import TrainConfig, Trainer, build_model, fit
+
+
+def _setup(tmp_path):
+    problem = sbm_problem(n_nodes=300, n_classes=3, feat_dim=16, seed=21)
+    cfg = TrainConfig(batch_size=32, epochs=1, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32))
+    model = build_model(cfg, problem.n_nodes, problem.n_classes)
+    trainer = Trainer(model, cfg, steps_per_epoch=5, task=problem.task)
+    graph = problem.device_graph(train=True)
+    return problem, trainer, graph
+
+
+def test_roundtrip_bitexact(tmp_path):
+    problem, trainer, graph = _setup(tmp_path)
+    state = trainer.init_state(graph)
+    ids = jnp.asarray(problem.folds["train"][:32], jnp.int32)
+    tgt = jnp.asarray(problem.store.targets[problem.folds["train"][:32]])
+    state, _ = trainer.train_step(state, graph, ids, tgt)
+
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, state)
+    template = trainer.init_state(graph)
+    restored = load_checkpoint(path, template)
+
+    assert int(restored.step) == int(state.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # PRNG key restored: next step is identical from both states
+    s1, m1 = trainer.train_step(state, graph, ids, tgt)
+    s2, m2 = trainer.train_step(restored, graph, ids, tgt)
+    assert float(m1["loss"]) == float(m2["loss"])
+
+
+def test_resume_continues_progress(tmp_path):
+    problem, _, _ = _setup(tmp_path)
+    cfg = TrainConfig(batch_size=32, epochs=2, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32))
+    path = str(tmp_path / "resume.npz")
+
+    _, state1, hist1 = fit(problem, cfg, log=lambda d: None, eval_every_epoch=False)
+    save_checkpoint(path, state1)
+    _, state2, hist2 = fit(problem, cfg, log=lambda d: None,
+                           eval_every_epoch=False, resume_from=path)
+    # resumed run starts from the saved step and keeps improving
+    assert int(state2.step) == 2 * int(state1.step)
+    assert hist2[0]["train_loss"] < hist1[0]["train_loss"]
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path):
+    problem, trainer, graph = _setup(tmp_path)
+    state = trainer.init_state(graph)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, state)
+
+    cfg_big = TrainConfig(batch_size=32, epochs=1, n_train_samples=(5, 3),
+                          n_val_samples=(5, 3), output_dims=(64, 64))
+    model_big = build_model(cfg_big, problem.n_nodes, problem.n_classes)
+    trainer_big = Trainer(model_big, cfg_big, steps_per_epoch=5, task=problem.task)
+    template = trainer_big.init_state(graph)
+    try:
+        load_checkpoint(path, template)
+        assert False, "expected shape mismatch error"
+    except ValueError as e:
+        assert "mismatch" in str(e)

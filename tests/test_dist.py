@@ -1,0 +1,137 @@
+"""Distributed tests on the 8-device CPU mesh (SURVEY.md §4.2 #4).
+
+The partitioned sampler/halo-exchange must return results identical to the
+single-device gather; partitioned training must run and converge.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpu_sage.data.synthetic import sbm_store
+from tpu_sage.dist.halo import dist_gather, dist_gather_bucketed
+from tpu_sage.dist.mesh import make_mesh
+from tpu_sage.dist.partition import partition_arrays, shard_fold
+from tpu_sage.dist.train import PartitionedTrainer
+from tpu_sage.train.trainer import TrainConfig
+
+
+@pytest.fixture(scope="module")
+def mesh(eight_devices):
+    return make_mesh()
+
+
+def _sharded_table(mesh, n_rows, d, seed=0):
+    rng = np.random.default_rng(seed)
+    table = rng.normal(size=(n_rows, d)).astype(np.float32)
+    sh = NamedSharding(mesh, P("data"))
+    return table, jax.device_put(jnp.asarray(table), sh)
+
+
+def test_dist_gather_exact(mesh):
+    n, d, q = 64, 16, 40  # 8 rows per shard
+    table, table_d = _sharded_table(mesh, n, d)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, n, size=(8, q)).astype(np.int32)  # per-shard queries
+    ids_d = jax.device_put(jnp.asarray(ids.reshape(-1)), NamedSharding(mesh, P("data")))
+
+    out = shard_map(
+        lambda t, i: dist_gather(t, i, "data"),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
+        check_vma=False,
+    )(table_d, ids_d)
+    np.testing.assert_array_equal(np.asarray(out), table[ids.reshape(-1)])
+
+
+def test_dist_gather_bucketed_exact_capacity(mesh):
+    n, d, q = 64, 8, 24
+    table, table_d = _sharded_table(mesh, n, d, seed=2)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, n, size=(8, q)).astype(np.int32)
+    ids_d = jax.device_put(jnp.asarray(ids.reshape(-1)), NamedSharding(mesh, P("data")))
+
+    out, overflow = shard_map(
+        lambda t, i: dist_gather_bucketed(t, i, "data", n_shards=8, capacity=q),
+        mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=(P("data"), P("data")), check_vma=False,
+    )(table_d, ids_d)
+    assert int(np.asarray(overflow).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(out), table[ids.reshape(-1)])
+
+
+def test_dist_gather_bucketed_overflow_masks(mesh):
+    """With capacity 1 and all queries hitting shard 0, overflow rows fall
+    back to zeros and are counted."""
+    n, d, q = 64, 8, 4
+    table, table_d = _sharded_table(mesh, n, d, seed=4)
+    ids = np.zeros((8, q), dtype=np.int32)  # every query wants row 0 (shard 0)
+    ids_d = jax.device_put(jnp.asarray(ids.reshape(-1)), NamedSharding(mesh, P("data")))
+
+    out, overflow = shard_map(
+        lambda t, i: dist_gather_bucketed(t, i, "data", n_shards=8, capacity=1),
+        mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=(P("data"), P("data")), check_vma=False,
+    )(table_d, ids_d)
+    out = np.asarray(out).reshape(8, q, d)
+    overflow = np.asarray(overflow)
+    # per shard: first query served exactly, remaining q-1 overflow to zeros
+    for s in range(8):
+        np.testing.assert_array_equal(out[s, 0], table[0])
+        assert (out[s, 1:] == 0).all()
+    assert overflow.sum() == 8 * (q - 1)
+
+
+def test_partition_arrays_padding():
+    store = sbm_store(n_nodes=100, n_classes=3, feat_dim=8, seed=5)
+    arrays, m = partition_arrays(store, 8, train=False)
+    assert m == 13 and arrays["adj"].shape[0] == 104
+    # padding rows: self-loop, degree 0, zero feats
+    assert (arrays["degrees"][100:] == 0).all()
+    assert (arrays["adj"][100:] == np.arange(100, 104)[:, None]).all()
+    assert (arrays["feats"][100:] == 0).all()
+
+
+def test_shard_fold_wrap_and_weights():
+    fold = np.array([0, 1, 2, 10, 11, 30])  # shards 0,1,3 of 8 (size 10 ea → use 4 shards)
+    ids, w = shard_fold(fold, n_shards=4, shard_size=10)
+    assert ids.shape == (4, 3)
+    assert w.tolist() == [1.0, 1.0, 0.0, 1.0]
+    assert set(ids[0]) == {0, 1, 2}
+    assert set(ids[1]) == {10, 11}  # wrapped
+    assert set(ids[3]) == {30}
+
+
+def test_partitioned_training_converges(mesh):
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=6, seed=6)
+    cfg = TrainConfig(batch_size=64, epochs=1, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32), lr_init=0.01)
+    trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(store, cfg, mesh)
+    state = trainer.init_state(feat_dim=store.feat_dim)
+
+    losses = []
+    for _ in range(30):
+        state, metrics = trainer.train_step(state, graph, fold_ids, fold_w)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+
+
+def test_partitioned_matches_single_device_forward(mesh):
+    """Halo-exchanged feature gather == replicated gather for a fixed tree."""
+    store = sbm_store(n_nodes=256, n_classes=3, feat_dim=8, seed=7)
+    arrays, m = partition_arrays(store, 8, train=False)
+    sh = NamedSharding(mesh, P("data"))
+    feats_d = jax.device_put(jnp.asarray(arrays["feats"]), sh)
+
+    rng = np.random.default_rng(8)
+    ids = rng.integers(0, 256, size=8 * 16).astype(np.int32)
+    ids_d = jax.device_put(jnp.asarray(ids), sh)
+    out = shard_map(
+        lambda t, i: dist_gather(t, i, "data"),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
+        check_vma=False,
+    )(feats_d, ids_d)
+    np.testing.assert_array_equal(np.asarray(out), arrays["feats"][ids])

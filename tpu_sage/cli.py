@@ -53,6 +53,11 @@ def parse_args(argv=None):
     ap.add_argument("--checkpoint-path", default=None,
                     help="save params+opt state here at end (and resume if present)")
     ap.add_argument("--no-eval", action="store_true", help="skip per-epoch validation")
+    ap.add_argument("--unsupervised", action="store_true",
+                    help="train with the skip-gram negative-sampling objective "
+                         "instead of the supervised head")
+    ap.add_argument("--walk-length", type=int, default=3)
+    ap.add_argument("--n-negatives", type=int, default=10)
     # synthetic-generator knobs
     ap.add_argument("--synthetic-nodes", type=int, default=2708)
     ap.add_argument("--synthetic-classes", type=int, default=7)
@@ -146,10 +151,18 @@ def main(argv=None):
                    for k, v in config.__dict__.items()},
     }), flush=True)
 
-    trainer, state, history = fit(
-        problem, config, eval_every_epoch=not args.no_eval,
-        resume_from=args.checkpoint_path,
-    )
+    if args.unsupervised:
+        from tpu_sage.train.unsupervised import UnsupConfig, fit_unsupervised
+
+        trainer, state, history = fit_unsupervised(
+            problem, config,
+            UnsupConfig(walk_length=args.walk_length, n_negatives=args.n_negatives),
+        )
+    else:
+        trainer, state, history = fit(
+            problem, config, eval_every_epoch=not args.no_eval,
+            resume_from=args.checkpoint_path,
+        )
 
     if args.checkpoint_path:
         from tpu_sage.train.checkpoint import save_checkpoint

@@ -1,0 +1,15 @@
+from tpu_sage.dist.halo import dist_gather, dist_gather_bucketed
+from tpu_sage.dist.mesh import data_sharding, make_mesh, replicated
+from tpu_sage.dist.partition import shard_fold, shard_graph
+from tpu_sage.dist.train import PartitionedTrainer
+
+__all__ = [
+    "dist_gather",
+    "dist_gather_bucketed",
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "shard_graph",
+    "shard_fold",
+    "PartitionedTrainer",
+]

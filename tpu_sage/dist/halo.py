@@ -1,0 +1,122 @@
+"""Distributed row gather (halo exchange) over a node-sharded table.
+
+This is the GNN analog of sequence parallelism (SURVEY.md §5.7, the
+centerpiece): the graph's node axis is contiguously range-partitioned across
+the ``data`` mesh axis; after sampling, neighbor ids may be owned by other
+shards and their rows (features, adjacency) must be fetched over ICI/DCN.
+
+Two static-shape formulations, both bitwise-identical to a single-device
+gather (tested on the 8-device CPU mesh):
+
+- ``dist_gather``: all_gather the (cheap, int32) query ids, answer every
+  shard's queries against the local rows with non-owned rows zeroed, then
+  ``psum_scatter`` the partial answers back to the requesters. Exact, two
+  collectives, communication ≈ n_dev·q·d — the robust default.
+- ``dist_gather_bucketed``: MoE-style capacity routing — bucket queries by
+  owner shard, ``all_to_all`` only ids to owners (q ints), gather locally,
+  ``all_to_all`` the rows straight back (≈ n_dev·capacity·d total).
+  With ``capacity ≥ q`` it is exact; with smaller capacity, overflowed
+  queries fall back to a caller-provided default row and the overflow count
+  is returned for monitoring (uniform neighbor distributions need
+  capacity ≈ q/n_dev · safety).
+
+Both run inside ``shard_map``; all shapes static; XLA overlaps the second
+collective with surrounding compute where the schedule allows (the
+ppermute-ring variant is the fallback if overlap fails on axon —
+SURVEY.md §7.3 #4).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def shard_offset(axis_name: str, shard_size: int) -> jnp.ndarray:
+    """First global node id owned by this shard."""
+    return lax.axis_index(axis_name) * shard_size
+
+
+def dist_gather(
+    local_table: jnp.ndarray,  # (m, d) rows owned by this shard
+    ids: jnp.ndarray,          # (q,) GLOBAL ids queried by this shard
+    axis_name: str,
+) -> jnp.ndarray:
+    """Exact distributed gather: returns ``(q, d)`` rows for global ``ids``.
+
+    all_gather(ids) → masked local answers → psum_scatter back. Every entry
+    of the result equals ``global_table[ids]`` exactly (zero rows for
+    out-of-range ids, which do not occur with a correct partitioner).
+    """
+    m = local_table.shape[0]
+    offset = shard_offset(axis_name, m)
+    all_ids = lax.all_gather(ids, axis_name)            # (n_dev, q)
+    local_idx = jnp.clip(all_ids - offset, 0, m - 1)
+    rows = local_table[local_idx]                        # (n_dev, q, d...)
+    owned = (all_ids >= offset) & (all_ids < offset + m)
+    rows = jnp.where(
+        owned.reshape(owned.shape + (1,) * (rows.ndim - 2)), rows, 0
+    )
+    flat = rows.reshape((-1,) + rows.shape[2:])          # (n_dev*q, d...)
+    return lax.psum_scatter(flat, axis_name, scatter_dimension=0, tiled=True)
+
+
+def dist_gather_bucketed(
+    local_table: jnp.ndarray,   # (m, d)
+    ids: jnp.ndarray,           # (q,) global ids
+    axis_name: str,
+    n_shards: int,
+    capacity: int,
+    fallback_row: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Capacity-routed distributed gather.
+
+    Returns ``(rows (q, d), n_overflowed (1,))``. Queries beyond ``capacity``
+    per destination shard receive ``fallback_row`` (zeros if None).
+    """
+    m = local_table.shape[0]
+    q = ids.shape[0]
+    offset = shard_offset(axis_name, m)
+    owner = jnp.clip(ids // m, 0, n_shards - 1)          # (q,)
+
+    # position of each query within its owner's bucket (stable order)
+    onehot = jax.nn.one_hot(owner, n_shards, dtype=jnp.int32)   # (q, n_shards)
+    pos = (jnp.cumsum(onehot, axis=0) - onehot)[jnp.arange(q), owner]  # (q,)
+    overflowed = pos >= capacity
+    n_overflow = overflowed.sum().reshape(1)  # rank-1 so shard_map can stack it
+
+    # scatter ids into the (n_shards, capacity) send buffer; -1 marks empty.
+    # overflowed queries index out of bounds and are dropped by the scatter.
+    send = jnp.full((n_shards, capacity), -1, dtype=ids.dtype)
+    send = send.at[owner, pos].set(ids, mode="drop")
+
+    # route queries to owners: all_to_all over the shard axis
+    recv = lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    recv = recv.reshape(n_shards, capacity)              # queries I must answer
+
+    valid = recv >= 0
+    local_idx = jnp.clip(recv - offset, 0, m - 1)
+    answers = local_table[local_idx]                     # (n_shards, capacity, d)
+    answers = jnp.where(
+        valid.reshape(valid.shape + (1,) * (answers.ndim - 2)), answers, 0
+    )
+
+    # route answers back: same all_to_all pattern in reverse
+    back = lax.all_to_all(
+        answers.reshape((n_shards * capacity,) + answers.shape[2:]),
+        axis_name, split_axis=0, concat_axis=0, tiled=True,
+    ).reshape((n_shards, capacity) + answers.shape[2:])
+
+    # un-scatter into query order (clamped read; overflow masked below)
+    read_pos = jnp.minimum(pos, capacity - 1)
+    gathered = back[owner, read_pos]                     # (q, d)
+    if fallback_row is None:
+        fallback_row = jnp.zeros(gathered.shape[1:], dtype=gathered.dtype)
+    gathered = jnp.where(
+        overflowed.reshape((-1,) + (1,) * (gathered.ndim - 1)),
+        fallback_row, gathered,
+    )
+    return gathered, n_overflow

@@ -1,0 +1,107 @@
+"""Graph partitioning for the node-sharded training path (SURVEY.md §2.3).
+
+Contiguous range partition: shard ``s`` owns global node ids
+``[s·m, (s+1)·m)`` where ``m = ceil(n/n_shards)``; the node axis of every
+per-node array (adjacency, degrees, features, targets) is padded to
+``n_shards·m`` and sharded over the ``data`` mesh axis. Padding rows are
+degree-0 self-loops with zero features — never sampled because fold ids only
+reference real nodes.
+
+Ownership is then a pure function of the id (``owner = id // m``) — no lookup
+table to replicate, which is what keeps the halo-exchange routing
+(tpu_sage.dist.halo) a couple of integer ops. A degree-aware reordering pass
+(balance edges, not just nodes) can be slotted in front of this without
+changing anything downstream; not implemented yet.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_sage.graph.graph_data import DeviceGraph, GraphStore
+
+
+def pad_to_shards(n_nodes: int, n_shards: int) -> Tuple[int, int]:
+    m = -(-n_nodes // n_shards)
+    return m, m * n_shards
+
+
+def partition_arrays(
+    store: GraphStore, n_shards: int, train: bool
+) -> Tuple[Dict[str, np.ndarray], int]:
+    """Pad per-node arrays to ``n_shards*m`` rows; returns (arrays, m)."""
+    n = store.n_nodes
+    m, n_pad = pad_to_shards(n, n_shards)
+    pad = n_pad - n
+
+    adj = store.train_adj if train else store.adj
+    deg = store.train_degrees if train else store.degrees
+
+    pad_adj = np.broadcast_to(
+        np.arange(n, n_pad, dtype=np.int32)[:, None], (pad, store.max_degree)
+    )
+    arrays = {
+        "adj": np.concatenate([adj, pad_adj], axis=0).astype(np.int32),
+        "degrees": np.concatenate([deg, np.zeros(pad, np.int32)]),
+        "feats": np.concatenate(
+            [store.feats, np.zeros((pad, store.feat_dim), store.feats.dtype)]
+        ),
+        "targets": np.concatenate(
+            [store.targets, np.zeros((pad,) + store.targets.shape[1:], store.targets.dtype)]
+        ),
+    }
+    return arrays, m
+
+
+def shard_graph(
+    store: GraphStore, mesh: Mesh, train: bool, axis: str = "data"
+) -> Tuple[DeviceGraph, int]:
+    """Upload a node-sharded DeviceGraph: every per-node array sharded on
+    axis 0 over ``axis``. Returns (graph, shard_size)."""
+    n_shards = mesh.shape[axis]
+    arrays, m = partition_arrays(store, n_shards, train)
+    sharding = NamedSharding(mesh, P(axis))
+    put = lambda x: jax.device_put(jnp.asarray(x), sharding)
+    graph = DeviceGraph(
+        adj=put(arrays["adj"]),
+        degrees=put(arrays["degrees"]),
+        feats=put(arrays["feats"]),
+        targets=put(
+            arrays["targets"].astype(
+                np.int32 if store.task == "classification" else np.float32
+            )
+        ),
+    )
+    return graph, m
+
+
+def shard_fold(
+    fold_ids: np.ndarray, n_shards: int, shard_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Group fold ids by owner shard into a dense ``(n_shards, L)`` table.
+
+    ``L`` is the max per-shard count; shards with fewer fold nodes wrap
+    around (sampling with replacement at the tail — unbiased enough for
+    minibatch SGD, and keeps every shape static). Returns ``(ids, weight)``
+    where ``weight[s] = (#fold nodes on shard s) / L`` scales shard ``s``'s
+    loss so wrapped duplicates don't skew the global mean; empty shards get
+    weight 0 (their rows point at the shard's first node and are masked out).
+    """
+    owners = fold_ids // shard_size
+    groups = [fold_ids[owners == s] for s in range(n_shards)]
+    L = max(1, max(len(g) for g in groups))
+    out = np.zeros((n_shards, L), dtype=np.int64)
+    weight = np.zeros(n_shards, dtype=np.float32)
+    for s, g in enumerate(groups):
+        if len(g) == 0:
+            out[s] = s * shard_size
+        else:
+            reps = -(-L // len(g))
+            out[s] = np.tile(g, reps)[:L]
+            weight[s] = 1.0
+    return out, weight

@@ -1,0 +1,208 @@
+"""Node-sharded (edge-partitioned) training: shard_map + halo exchange.
+
+The multi-chip training path (SURVEY.md §5.7 — the ring-attention analog for
+graphs). Each shard of the ``data`` mesh axis owns a contiguous node range
+(adjacency rows, degrees, features, targets) plus the slice of every batch
+drawn from its range. One train step, per shard:
+
+1. draw ``batch_per_shard`` root ids from the shard's local fold table;
+2. level by level, ``dist_gather`` the (adjacency row ‖ degree) of the
+   frontier — rows of remote nodes arrive over ICI — and sample ``fanout``
+   columns on device;
+3. ``dist_gather`` feature rows for every tree level (the halo exchange);
+4. run the dense network on local tensors, weighted-``psum`` the loss/grads,
+   and apply identical optimizer updates on every shard (params replicated).
+
+Everything static-shape; XLA schedules the collectives and can overlap the
+level-``k+1`` gather with level-``k`` compute (double-buffering per
+SURVEY.md §5.7 "Overlap").
+
+Model params are replicated; supports all aggregators and preps (the
+node-embedding table rides replicated — acceptable at GraphSAGE scales).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax, shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_sage.dist.halo import dist_gather
+from tpu_sage.dist.partition import shard_fold, shard_graph
+from tpu_sage.graph.graph_data import DeviceGraph, GraphStore
+from tpu_sage.nn.model import GSSupervised
+from tpu_sage.train.losses import loss_lookup
+from tpu_sage.train.trainer import TrainConfig, TrainState, build_model, build_optimizer
+
+
+def sample_level_distributed(
+    key: jax.Array,
+    adj_deg: jnp.ndarray,   # (m, max_degree+1) local rows: adj ‖ degree
+    ids: jnp.ndarray,       # (cur,) global frontier ids on this shard
+    fanout: int,
+    axis: str,
+) -> jnp.ndarray:
+    """One sampling hop with remote adjacency rows fetched by halo exchange."""
+    rows = dist_gather(adj_deg, ids, axis)            # (cur, max_degree+1)
+    r_adj, r_deg = rows[:, :-1], rows[:, -1]
+    deg = jnp.maximum(r_deg, 1)
+    u = jax.random.uniform(key, (ids.shape[0], fanout))
+    cols = jnp.minimum((u * deg[:, None].astype(u.dtype)).astype(jnp.int32),
+                       deg[:, None] - 1)
+    nbr = jnp.take_along_axis(r_adj, cols, axis=1)
+    # degree-0 rows (padding nodes) self-loop, matching single-device semantics
+    nbr = jnp.where(r_deg[:, None] == 0, ids[:, None], nbr)
+    return nbr.reshape(-1)
+
+
+class PartitionedTrainer:
+    """Multi-chip trainer over a node-sharded graph.
+
+    Drop-in sibling of ``tpu_sage.train.trainer.Trainer`` for the partitioned
+    path; same config surface, same optimizer construction.
+    """
+
+    def __init__(
+        self,
+        model: GSSupervised,
+        config: TrainConfig,
+        mesh: Mesh,
+        shard_size: int,
+        steps_per_epoch: int,
+        task: str = "classification",
+        axis: str = "data",
+    ):
+        self.model = model
+        self.config = config
+        self.mesh = mesh
+        self.axis = axis
+        self.shard_size = shard_size
+        self.n_shards = mesh.shape[axis]
+        self.loss_fn = loss_lookup[task]
+        self.tx = build_optimizer(config, steps_per_epoch)
+        self.batch_per_shard = max(1, config.batch_size // self.n_shards)
+        self._step_fn = None
+
+    # -- construction helpers ----------------------------------------------
+
+    @classmethod
+    def from_store(
+        cls, store: GraphStore, config: TrainConfig, mesh: Mesh, axis: str = "data"
+    ) -> Tuple["PartitionedTrainer", DeviceGraph, jnp.ndarray, jnp.ndarray]:
+        """Build trainer + sharded graph + sharded fold table from a host store."""
+        graph, m = shard_graph(store, mesh, train=True, axis=axis)
+        n_shards = mesh.shape[axis]
+        fold_ids, fold_w = shard_fold(store.folds["train"], n_shards, m)
+        steps_per_epoch = max(1, len(store.folds["train"]) // config.batch_size)
+        model = build_model(config, store.n_nodes, store.n_classes)
+        trainer = cls(model, config, mesh, m, steps_per_epoch, task=store.task, axis=axis)
+        sh = NamedSharding(mesh, P(axis))
+        fold_ids_d = jax.device_put(jnp.asarray(fold_ids, jnp.int32), sh)
+        fold_w_d = jax.device_put(jnp.asarray(fold_w), sh)
+        return trainer, graph, fold_ids_d, fold_w_d
+
+    def init_state(self, feat_dim: int, key: Optional[jax.Array] = None) -> TrainState:
+        if key is None:
+            key = jax.random.key(self.config.seed)
+        key, init_key, state_key = jax.random.split(key, 3)
+        fanouts = self.model.fanouts(train=True)
+        b = self.batch_per_shard
+        levels = [jnp.zeros((b,), jnp.int32)]
+        feats = [jnp.zeros((b, feat_dim))]
+        for f in fanouts:
+            levels.append(jnp.zeros((levels[-1].shape[0] * f,), jnp.int32))
+            feats.append(jnp.zeros((levels[-1].shape[0], feat_dim)))
+        params = self.model.init(
+            init_key, levels, feats, method=self.model.forward_gathered
+        )
+        opt_state = self.tx.init(params)
+        state = TrainState(
+            params=params, opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32), key=state_key,
+        )
+        rep = NamedSharding(self.mesh, P())
+        return jax.device_put(state, rep)
+
+    # -- the sharded step ---------------------------------------------------
+
+    def _make_step(self):
+        axis = self.axis
+        fanouts = self.model.fanouts(train=True)
+        model, tx, loss_fn = self.model, self.tx, self.loss_fn
+        bps = self.batch_per_shard
+
+        def shard_step(params, opt_state, step, key, adj, deg, feats, targets,
+                       fold_ids, fold_w):
+            # locals: adj (m, D), deg (m,), feats (m, F), targets (m, ...),
+            # fold_ids (1, L), fold_w (1,)
+            my = lax.axis_index(axis)
+            m = adj.shape[0]
+            offset = my * m
+            k = jax.random.fold_in(jax.random.fold_in(key, step), my)
+            k_batch, k_sample = jax.random.split(k)
+
+            idx = jax.random.randint(k_batch, (bps,), 0, fold_ids.shape[1])
+            ids = fold_ids[0, idx]                       # (bps,) global, local-owned
+            tgt = targets[ids - offset]
+            w = fold_w[0]
+
+            adj_deg = jnp.concatenate([adj, deg[:, None]], axis=1)
+
+            def fwd(p):
+                levels = [ids]
+                ks = jax.random.split(k_sample, len(fanouts))
+                for i, f in enumerate(fanouts):
+                    levels.append(
+                        sample_level_distributed(ks[i], adj_deg, levels[-1], f, axis)
+                    )
+                level_feats = [dist_gather(feats, l, axis) for l in levels]
+                logits = model.apply(
+                    p, levels, level_feats, method=model.forward_gathered
+                )
+                local_loss = loss_fn(logits, tgt)
+                # weight shards by fold occupancy so wrap-padding doesn't skew
+                scale = w / jnp.maximum(lax.psum(w, axis), 1e-12)
+                return local_loss * scale
+
+            loss_s, grads = jax.value_and_grad(fwd)(params)
+            loss = lax.psum(loss_s, axis)
+            grads = lax.psum(grads, axis)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt, step + 1, key, loss
+
+        rep, shd = P(), P(axis)
+        mapped = shard_map(
+            shard_step,
+            mesh=self.mesh,
+            in_specs=(rep, rep, rep, rep, shd, shd, shd, shd, shd, shd),
+            out_specs=(rep, rep, rep, rep, rep),
+            check_vma=False,
+        )
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state: TrainState, graph: DeviceGraph, fold_ids, fold_w):
+            new_key = jax.random.fold_in(state.key, state.step)
+            params, opt_state, step, _, loss = mapped(
+                state.params, state.opt_state, state.step, state.key,
+                graph.adj, graph.degrees, graph.feats, graph.targets,
+                fold_ids, fold_w,
+            )
+            return (
+                TrainState(params=params, opt_state=opt_state, step=step, key=new_key),
+                {"loss": loss},
+            )
+
+        return step_fn
+
+    def train_step(self, state, graph, fold_ids, fold_w):
+        if self._step_fn is None:
+            self._step_fn = self._make_step()
+        return self._step_fn(state, graph, fold_ids, fold_w)

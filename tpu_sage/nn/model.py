@@ -103,12 +103,25 @@ class GSSupervised(nn.Module):
         self.fc = nn.Dense(self.n_classes, name="fc")
 
     def encode(self, levels: List[jnp.ndarray], feats: Optional[jnp.ndarray]) -> jnp.ndarray:
-        """Collapse the neighborhood tree into per-root embeddings ``(B, D)``."""
+        """Collapse the neighborhood tree into per-root embeddings ``(B, D)``.
+
+        ``feats`` is the full (replicated) feature table; the per-level gather
+        happens here. For node-sharded features use ``encode_gathered`` with
+        halo-exchanged rows (tpu_sage.dist)."""
+        gathered = [None if feats is None else feats[ids] for ids in levels]
+        return self.encode_gathered(levels, gathered)
+
+    def encode_gathered(
+        self,
+        levels: List[jnp.ndarray],
+        level_feats: List[Optional[jnp.ndarray]],
+    ) -> jnp.ndarray:
+        """As ``encode`` but with each level's feature rows already gathered."""
         if len(levels) != len(self.layer_specs) + 1:
             raise ValueError(
                 f"need {len(self.layer_specs) + 1} tree levels, got {len(levels)}"
             )
-        h = [self.prep(ids, feats) for ids in levels]
+        h = [self.prep(ids, x) for ids, x in zip(levels, level_feats)]
         for agg in self.agg_layers:
             nxt = []
             for d in range(len(h) - 1):
@@ -123,6 +136,14 @@ class GSSupervised(nn.Module):
 
     def __call__(self, levels: List[jnp.ndarray], feats: Optional[jnp.ndarray]) -> jnp.ndarray:
         return self.fc(self.encode(levels, feats))
+
+    def forward_gathered(
+        self,
+        levels: List[jnp.ndarray],
+        level_feats: List[Optional[jnp.ndarray]],
+    ) -> jnp.ndarray:
+        """Logits from pre-gathered level features (partitioned path)."""
+        return self.fc(self.encode_gathered(levels, level_feats))
 
     # -- convenience -------------------------------------------------------
 

@@ -6,9 +6,11 @@ embedding — transductive; optionally concatenated with features), and
 ``LinearPrep`` (linear projection of features). Registered in ``prep_lookup``
 by the same flag strings the reference CLI uses.
 
-All preps take the *full* device-resident feature table plus the flat id array
-for one tree level and return that level's input features — the gather is an
-XLA dynamic-gather over HBM, batched across the whole level.
+Preps take ``(ids, x)`` where ``x`` is that level's *already gathered* feature
+rows (``feats[ids]`` on a single device; a halo-exchange ``dist_gather`` in
+partitioned mode — see tpu_sage.dist). Keeping the gather outside the module
+is what lets the same network run replicated or node-sharded unchanged; only
+``NodeEmbeddingPrep`` touches ids directly (its table is replicated).
 """
 
 from __future__ import annotations
@@ -20,16 +22,16 @@ import flax.linen as nn
 
 
 class IdentityPrep(nn.Module):
-    """Pass raw features through: ``out = feats[ids]``."""
+    """Pass gathered raw features through unchanged."""
 
     n_nodes: int = 0
     embedding_dim: int = 0  # unused; uniform ctor surface across preps
 
     @nn.compact
-    def __call__(self, ids: jnp.ndarray, feats: Optional[jnp.ndarray]) -> jnp.ndarray:
-        if feats is None:
+    def __call__(self, ids: jnp.ndarray, x: Optional[jnp.ndarray]) -> jnp.ndarray:
+        if x is None:
             raise ValueError("IdentityPrep requires node features")
-        return feats[ids]
+        return x
 
 
 class LinearPrep(nn.Module):
@@ -45,10 +47,10 @@ class LinearPrep(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, ids: jnp.ndarray, feats: Optional[jnp.ndarray]) -> jnp.ndarray:
-        if feats is None:
+    def __call__(self, ids: jnp.ndarray, x: Optional[jnp.ndarray]) -> jnp.ndarray:
+        if x is None:
             raise ValueError("LinearPrep requires node features")
-        return nn.Dense(self.embedding_dim, use_bias=self.use_bias, name="fc")(feats[ids])
+        return nn.Dense(self.embedding_dim, use_bias=self.use_bias, name="fc")(x)
 
 
 class NodeEmbeddingPrep(nn.Module):
@@ -63,11 +65,11 @@ class NodeEmbeddingPrep(nn.Module):
     embedding_dim: int = 64
 
     @nn.compact
-    def __call__(self, ids: jnp.ndarray, feats: Optional[jnp.ndarray]) -> jnp.ndarray:
+    def __call__(self, ids: jnp.ndarray, x: Optional[jnp.ndarray]) -> jnp.ndarray:
         emb = nn.Embed(self.n_nodes, self.embedding_dim, name="embedding")(ids)
-        if feats is None:
+        if x is None:
             return emb
-        return jnp.concatenate([feats[ids], emb], axis=-1)
+        return jnp.concatenate([x, emb], axis=-1)
 
 
 prep_lookup = {

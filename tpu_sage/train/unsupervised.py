@@ -1,0 +1,201 @@
+"""Unsupervised GraphSAGE: skip-gram with negative sampling over random walks.
+
+The paper's unsupervised objective (Hamilton et al. §3.2, listed in-scope by
+BASELINE.json even though bkj may not ship it — SURVEY.md §2.1 last row):
+
+    L = −log σ(z_u·z_v) − Q · E_{n~P_neg}[log σ(−z_u·z_n)]
+
+where v co-occurs with u on a fixed-length random walk and negatives are
+sampled uniformly (paper uses a smoothed degree distribution; uniform is the
+default here, degree-smoothed available via ``neg_power``).
+
+TPU re-design: walks are generated *on device* inside the jit'd step — a
+``lax.scan`` of one-hop uniform samples over the padded adjacency — so there
+is no offline walk corpus (the reference ETL's ``walks.txt``) and no host
+traffic; every shape is static. The encoder is the same ``GSSupervised``
+tower (its classifier head is simply unused), so any aggregator/prep works.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpu_sage.graph.graph_data import DeviceGraph
+from tpu_sage.nn.model import GSSupervised
+from tpu_sage.sample.sampler import sample_tree, uniform_neighbor_sample
+from tpu_sage.train.trainer import TrainConfig, TrainState, build_model, build_optimizer
+
+
+def random_walk(
+    key: jax.Array,
+    adj: jnp.ndarray,
+    degrees: jnp.ndarray,
+    ids: jnp.ndarray,
+    length: int,
+) -> jnp.ndarray:
+    """Uniform random walk of ``length`` hops; returns final nodes ``(B,)``."""
+    def body(carry, k):
+        cur = carry
+        nxt = uniform_neighbor_sample(k, adj, degrees, cur, 1)[:, 0]
+        return nxt, None
+
+    keys = jax.random.split(key, length)
+    final, _ = jax.lax.scan(body, ids.astype(jnp.int32), keys)
+    return final
+
+
+def nce_loss(
+    z_u: jnp.ndarray,      # (B, D) anchor embeddings
+    z_pos: jnp.ndarray,    # (B, D) positive embeddings
+    z_neg: jnp.ndarray,    # (B, Q, D) negative embeddings
+) -> jnp.ndarray:
+    pos_logit = jnp.sum(z_u * z_pos, axis=-1)                 # (B,)
+    neg_logit = jnp.einsum("bd,bqd->bq", z_u, z_neg)          # (B, Q)
+    pos_loss = -jax.nn.log_sigmoid(pos_logit)
+    neg_loss = -jnp.sum(jax.nn.log_sigmoid(-neg_logit), axis=-1)
+    return jnp.mean(pos_loss + neg_loss)
+
+
+@dataclasses.dataclass(frozen=True)
+class UnsupConfig:
+    """Knobs specific to the unsupervised objective."""
+
+    walk_length: int = 3     # hops between anchor and positive
+    n_negatives: int = 10    # Q
+    neg_power: float = 0.0   # 0 = uniform; 0.75 = word2vec-style degree smoothing
+
+
+class UnsupervisedTrainer:
+    """Trains the encoder with the NCE objective; shares TrainConfig."""
+
+    def __init__(
+        self,
+        model: GSSupervised,
+        config: TrainConfig,
+        unsup: UnsupConfig,
+        steps_per_epoch: int,
+    ):
+        self.model = model
+        self.config = config
+        self.unsup = unsup
+        self.tx = build_optimizer(config, steps_per_epoch)
+
+    def init_state(self, graph: DeviceGraph, key: Optional[jax.Array] = None) -> TrainState:
+        if key is None:
+            key = jax.random.key(self.config.seed)
+        key, init_key, state_key = jax.random.split(key, 3)
+        b = min(self.config.batch_size, 8)
+        levels = [jnp.zeros((b,), jnp.int32)]
+        for f in self.model.fanouts(train=True):
+            levels.append(jnp.zeros((levels[-1].shape[0] * f,), jnp.int32))
+        params = self.model.init(init_key, levels, graph.feats)
+        return TrainState(
+            params=params, opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32), key=state_key,
+        )
+
+    def _encode(self, params, key, graph: DeviceGraph, ids: jnp.ndarray) -> jnp.ndarray:
+        levels = sample_tree(
+            key, graph.adj, graph.degrees, ids, self.model.fanouts(train=True)
+        )
+        return self.model.apply(params, levels, graph.feats, method=self.model.encode)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(
+        self, state: TrainState, graph: DeviceGraph, ids: jnp.ndarray
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        key, k_walk, k_neg, k_u, k_p, k_n = jax.random.split(state.key, 6)
+        b = ids.shape[0]
+        q = self.unsup.n_negatives
+
+        pos = random_walk(k_walk, graph.adj, graph.degrees, ids, self.unsup.walk_length)
+        if self.unsup.neg_power > 0:
+            logits = self.unsup.neg_power * jnp.log(
+                jnp.maximum(graph.degrees.astype(jnp.float32), 1.0)
+            )
+            neg = jax.random.categorical(k_neg, logits, shape=(b * q,))
+        else:
+            neg = jax.random.randint(k_neg, (b * q,), 0, graph.n_nodes)
+        neg = neg.astype(jnp.int32)
+
+        def loss_of(params):
+            z_u = self._encode(params, k_u, graph, ids)
+            z_p = self._encode(params, k_p, graph, pos)
+            z_n = self._encode(params, k_n, graph, neg).reshape(b, q, -1)
+            return nce_loss(z_u, z_p, z_n)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1, key=key),
+            {"loss": loss},
+        )
+
+    @partial(jax.jit, static_argnums=0)
+    def embed_batch(self, params, graph: DeviceGraph, ids: jnp.ndarray, key) -> jnp.ndarray:
+        return self._encode(params, key, graph, ids)
+
+    def embed_all(self, params, graph: DeviceGraph, ids: np.ndarray,
+                  batch_size: int = 512, seed: int = 0) -> np.ndarray:
+        """Host convenience: embeddings for arbitrary node sets (downstream
+        logistic-probe protocol, paper §4)."""
+        key = jax.random.key(seed)
+        out = []
+        n = len(ids)
+        pad = (-n) % batch_size
+        padded = np.concatenate([ids, np.zeros(pad, ids.dtype)])
+        for i in range(0, len(padded), batch_size):
+            key, sub = jax.random.split(key)
+            z = self.embed_batch(
+                params, graph, jnp.asarray(padded[i : i + batch_size], jnp.int32), sub
+            )
+            out.append(np.asarray(z))
+        return np.concatenate(out)[:n]
+
+
+def fit_unsupervised(
+    problem,
+    config: TrainConfig,
+    unsup: Optional[UnsupConfig] = None,
+    log=None,
+) -> Tuple[UnsupervisedTrainer, TrainState, list]:
+    """Epoch loop over all train-fold nodes with the NCE objective."""
+    import json as _json
+    import time
+
+    if unsup is None:
+        unsup = UnsupConfig()
+    if log is None:
+        log = lambda d: print(_json.dumps(d), flush=True)
+
+    train_ids = problem.folds["train"]
+    steps_per_epoch = max(1, len(train_ids) // config.batch_size)
+    model = build_model(config, problem.n_nodes, max(problem.n_classes, 2))
+    trainer = UnsupervisedTrainer(model, config, unsup, steps_per_epoch)
+    graph = problem.device_graph(train=True)
+    state = trainer.init_state(graph)
+
+    rng = np.random.default_rng(config.seed)
+    history = []
+    b = config.batch_size
+    for epoch in range(config.epochs):
+        t0 = time.time()
+        perm = rng.permutation(train_ids)
+        losses = []
+        for i in range(steps_per_epoch):
+            ids = jnp.asarray(perm[i * b : (i + 1) * b], jnp.int32)
+            state, m = trainer.train_step(state, graph, ids)
+            losses.append(float(m["loss"]))
+        rec = {"epoch": epoch, "unsup_loss": float(np.mean(losses)),
+               "elapsed": round(time.time() - t0, 4)}
+        history.append(rec)
+        log(rec)
+    return trainer, state, history
