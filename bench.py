@@ -30,6 +30,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from tpu_sage.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from tpu_sage.data.synthetic import bench_store
     from tpu_sage.data.problem import NodeProblem
     from tpu_sage.train.trainer import TrainConfig, Trainer, build_model
@@ -39,6 +43,7 @@ def main():
     store = bench_store()
     problem = NodeProblem(store)
 
+    compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     config = TrainConfig(
         batch_size=batch_size,
         n_train_samples=fanouts,
@@ -46,13 +51,16 @@ def main():
         output_dims=(128, 128),
         epochs=3,
         lr_init=0.01,
-        param_dtype=os.environ.get("BENCH_DTYPE", "float32"),
+        compute_dtype=compute_dtype,
     )
     train_ids = problem.folds["train"]
     steps_per_epoch = len(train_ids) // batch_size
     model = build_model(config, problem.n_nodes, problem.n_classes)
     trainer = Trainer(model, config, steps_per_epoch, task=problem.task)
-    graph = problem.device_graph(train=True)
+    graph = problem.device_graph(
+        train=True,
+        dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32,
+    )
     state = trainer.init_state(graph)
 
     n = steps_per_epoch * batch_size

@@ -25,6 +25,9 @@ import numpy as np
 
 def parse_args(argv=None):
     ap = argparse.ArgumentParser(description="tpu_sage trainer")
+    ap.add_argument("--config", default=None,
+                    help="TrainConfig preset json (see configs/); explicit "
+                         "flags override preset values")
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--problem-path", help="path to problem.h5")
     src.add_argument(
@@ -58,6 +61,10 @@ def parse_args(argv=None):
                          "instead of the supervised head")
     ap.add_argument("--walk-length", type=int, default=3)
     ap.add_argument("--n-negatives", type=int, default=10)
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="enable jax_debug_nans (SURVEY.md §5.2)")
+    ap.add_argument("--log-path", default=None,
+                    help="also append metric records to this JSONL file")
     # synthetic-generator knobs
     ap.add_argument("--synthetic-nodes", type=int, default=2708)
     ap.add_argument("--synthetic-classes", type=int, default=7)
@@ -85,6 +92,13 @@ def main(argv=None):
         return 2
 
     # Late imports keep `--help` fast (no jax/TPU bring-up).
+    from tpu_sage.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     from tpu_sage.data.problem import NodeProblem
     from tpu_sage.nn.aggregators import aggregator_lookup
     from tpu_sage.nn.preps import prep_lookup
@@ -128,22 +142,47 @@ def main(argv=None):
     else:
         problem = NodeProblem.from_h5(args.problem_path)
 
-    config = TrainConfig(
-        aggregator_class=args.aggregator_class,
-        prep_class=args.prep_class,
-        n_train_samples=fanouts,
-        n_val_samples=val_fanouts,
-        output_dims=output_dims,
-        batch_size=args.batch_size,
-        epochs=args.epochs,
-        lr_init=args.lr_init,
-        lr_schedule=args.lr_schedule,
-        weight_decay=args.weight_decay,
-        optimizer=args.optimizer,
-        seed=args.seed,
-        combine=args.combine,
-        normalize=not args.no_normalize,
-    )
+    flag_values = {
+        "aggregator_class": args.aggregator_class,
+        "prep_class": args.prep_class,
+        "n_train_samples": fanouts,
+        "n_val_samples": val_fanouts,
+        "output_dims": output_dims,
+        "batch_size": args.batch_size,
+        "epochs": args.epochs,
+        "lr_init": args.lr_init,
+        "lr_schedule": args.lr_schedule,
+        "weight_decay": args.weight_decay,
+        "optimizer": args.optimizer,
+        "seed": args.seed,
+        "combine": args.combine,
+        "normalize": not args.no_normalize,
+    }
+    if args.config:
+        # preset json is the base; explicitly-set CLI flags override it
+        config = TrainConfig.from_json(args.config)
+        flag_defaults = vars(parse_args(["--synthetic", "sbm"]))
+        explicit = {
+            k for k, v in vars(args).items()
+            if k in flag_defaults and v != flag_defaults[k]
+        }
+        override_keys = {
+            "aggregator_class", "prep_class", "batch_size", "epochs",
+            "lr_init", "lr_schedule", "weight_decay", "optimizer", "seed",
+            "combine",
+        }
+        overrides = {k: flag_values[k] for k in override_keys & explicit}
+        if "n_train_samples" in explicit:
+            overrides["n_train_samples"] = fanouts
+        if "n_val_samples" in explicit:
+            overrides["n_val_samples"] = val_fanouts
+        if "output_dims" in explicit:
+            overrides["output_dims"] = output_dims
+        if args.no_normalize:
+            overrides["normalize"] = False
+        config = config.replace(**overrides)
+    else:
+        config = TrainConfig(**flag_values)
     print(json.dumps({
         "task": problem.task, "n_nodes": problem.n_nodes,
         "feat_dim": problem.feats_dim, "n_classes": problem.n_classes,
@@ -151,17 +190,27 @@ def main(argv=None):
                    for k, v in config.__dict__.items()},
     }), flush=True)
 
+    log = None
+    if args.log_path:
+        logf = open(args.log_path, "a")
+
+        def log(rec):
+            print(json.dumps(rec), flush=True)
+            logf.write(json.dumps(rec) + "\n")
+            logf.flush()
+
     if args.unsupervised:
         from tpu_sage.train.unsupervised import UnsupConfig, fit_unsupervised
 
         trainer, state, history = fit_unsupervised(
             problem, config,
             UnsupConfig(walk_length=args.walk_length, n_negatives=args.n_negatives),
+            log=log,
         )
     else:
         trainer, state, history = fit(
             problem, config, eval_every_epoch=not args.no_eval,
-            resume_from=args.checkpoint_path,
+            resume_from=args.checkpoint_path, log=log,
         )
 
     if args.checkpoint_path:

@@ -57,13 +57,23 @@ def from_edgelist(
     """
     n_nodes = feats.shape[0]
     rng = np.random.default_rng(seed)
-    adj, degrees = build_padded_adjacency(edges, n_nodes, max_degree, rng)
     is_train = np.zeros(n_nodes, dtype=bool)
     is_train[folds["train"]] = True
     train_edges = edges[is_train[edges[:, 0]] & is_train[edges[:, 1]]]
-    train_adj, train_degrees = build_padded_adjacency(
-        train_edges, n_nodes, max_degree, rng
-    )
+
+    # big graphs go through the native C++ builder when available
+    from tpu_sage import native
+
+    if len(edges) > 100_000 and native.available():
+        adj, degrees = native.build_padded_adjacency(edges, n_nodes, max_degree, seed)
+        train_adj, train_degrees = native.build_padded_adjacency(
+            train_edges, n_nodes, max_degree, seed + 1
+        )
+    else:
+        adj, degrees = build_padded_adjacency(edges, n_nodes, max_degree, rng)
+        train_adj, train_degrees = build_padded_adjacency(
+            train_edges, n_nodes, max_degree, rng
+        )
     if n_classes is None:
         if task == "classification":
             n_classes = int(targets.max()) + 1

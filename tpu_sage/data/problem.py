@@ -49,7 +49,7 @@ class NodeProblem:
         self.task = store.task
         self.n_classes = store.n_classes
         self.folds: Dict[str, np.ndarray] = store.folds
-        self._device_graphs: Dict[bool, DeviceGraph] = {}
+        self._device_graphs: Dict[tuple, DeviceGraph] = {}
 
     # -- constructors ------------------------------------------------------
 
@@ -115,11 +115,19 @@ class NodeProblem:
 
     # -- device access -----------------------------------------------------
 
-    def device_graph(self, train: bool) -> DeviceGraph:
-        """Upload (once, cached) the train-edge or full-edge graph."""
-        if train not in self._device_graphs:
-            self._device_graphs[train] = self.store.to_device(train=train)
-        return self._device_graphs[train]
+    def device_graph(self, train: bool, dtype=None) -> DeviceGraph:
+        """Upload (once, cached) the train-edge or full-edge graph.
+
+        ``dtype``: feature dtype on device (e.g. ``jnp.bfloat16`` halves the
+        dominant HBM gather traffic; default float32)."""
+        import jax.numpy as jnp
+
+        key = (train, str(dtype))
+        if key not in self._device_graphs:
+            self._device_graphs[key] = self.store.to_device(
+                train=train, dtype=dtype or jnp.float32
+            )
+        return self._device_graphs[key]
 
     # -- reference-compatible batch generator ------------------------------
 

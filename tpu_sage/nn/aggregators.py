@@ -20,13 +20,14 @@ on-chip; replaces the reference's cuDNN LSTM — SURVEY.md §2.2).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax.numpy as jnp
 import flax.linen as nn
 
 
 Activation = Optional[Callable[[jnp.ndarray], jnp.ndarray]]
+Dtype = Any  # compute dtype; params stay float32 (flax param_dtype default)
 
 
 def _combine(
@@ -37,10 +38,11 @@ def _combine(
     combine: str,
     activation: Activation,
     use_bias: bool,
+    dtype: Dtype = None,
 ) -> jnp.ndarray:
     """Shared self/neighbor combine: two projections, concat or add."""
-    h_self = nn.Dense(output_dim, use_bias=use_bias, name="fc_self")(x_self)
-    h_neigh = nn.Dense(output_dim, use_bias=use_bias, name="fc_neigh")(neigh_summary)
+    h_self = nn.Dense(output_dim, use_bias=use_bias, dtype=dtype, name="fc_self")(x_self)
+    h_neigh = nn.Dense(output_dim, use_bias=use_bias, dtype=dtype, name="fc_neigh")(neigh_summary)
     if combine == "concat":
         out = jnp.concatenate([h_self, h_neigh], axis=-1)
     elif combine == "add":
@@ -60,12 +62,13 @@ class MeanAggregator(nn.Module):
     combine: str = "concat"
     use_bias: bool = False
     hidden_dim: int = 0  # unused; uniform ctor surface
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
         summary = jnp.mean(x_neigh, axis=1)
         return _combine(self, x_self, summary, self.output_dim, self.combine,
-                        self.activation, self.use_bias)
+                        self.activation, self.use_bias, self.dtype)
 
 
 class PoolAggregator(nn.Module):
@@ -82,10 +85,11 @@ class PoolAggregator(nn.Module):
     activation: Activation = nn.relu
     combine: str = "concat"
     use_bias: bool = True
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
-        h = nn.relu(nn.Dense(self.hidden_dim, name="mlp")(x_neigh))  # (B, F, H)
+        h = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype, name="mlp")(x_neigh))  # (B, F, H)
         if self.pool == "max":
             summary = jnp.max(h, axis=1)
         elif self.pool == "mean":
@@ -93,7 +97,7 @@ class PoolAggregator(nn.Module):
         else:
             raise ValueError(f"unknown pool: {self.pool}")
         return _combine(self, x_self, summary, self.output_dim, self.combine,
-                        self.activation, self.use_bias)
+                        self.activation, self.use_bias, self.dtype)
 
 
 class MaxPoolAggregator(PoolAggregator):
@@ -118,14 +122,15 @@ class LSTMAggregator(nn.Module):
     activation: Activation = nn.relu
     combine: str = "concat"
     use_bias: bool = True
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
-        rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden_dim), name="lstm")
+        rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden_dim, dtype=self.dtype), name="lstm")
         hs = rnn(x_neigh)               # (B, F, H)
         summary = hs[:, -1, :]          # final hidden state
         return _combine(self, x_self, summary, self.output_dim, self.combine,
-                        self.activation, self.use_bias)
+                        self.activation, self.use_bias, self.dtype)
 
 
 class AttentionAggregator(nn.Module):
@@ -140,16 +145,17 @@ class AttentionAggregator(nn.Module):
     activation: Activation = nn.relu
     combine: str = "concat"
     use_bias: bool = False
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
-        q = nn.Dense(self.hidden_dim, use_bias=False, name="att_q")(x_self)       # (B, K)
-        k = nn.Dense(self.hidden_dim, use_bias=False, name="att_k")(x_neigh)      # (B, F, K)
+        q = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="att_q")(x_self)       # (B, K)
+        k = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="att_k")(x_neigh)      # (B, F, K)
         scores = jnp.einsum("bk,bfk->bf", q, k) / jnp.sqrt(float(self.hidden_dim))
         alpha = nn.softmax(scores, axis=-1)                                        # (B, F)
         summary = jnp.einsum("bf,bfd->bd", alpha, x_neigh)
         return _combine(self, x_self, summary, self.output_dim, self.combine,
-                        self.activation, self.use_bias)
+                        self.activation, self.use_bias, self.dtype)
 
 
 class GCNAggregator(nn.Module):
@@ -164,12 +170,13 @@ class GCNAggregator(nn.Module):
     combine: str = "concat"  # ignored; GCN has one branch
     use_bias: bool = True
     hidden_dim: int = 0
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
         both = jnp.concatenate([x_self[:, None, :], x_neigh], axis=1)
         summary = jnp.mean(both, axis=1)
-        out = nn.Dense(self.output_dim, use_bias=self.use_bias, name="fc")(summary)
+        out = nn.Dense(self.output_dim, use_bias=self.use_bias, dtype=self.dtype, name="fc")(summary)
         if self.activation is not None:
             out = self.activation(out)
         return out

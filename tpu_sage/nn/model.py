@@ -86,8 +86,10 @@ class GSSupervised(nn.Module):
     combine: str = "concat"
     normalize: bool = True
     agg_hidden_dim: int = 512
+    dtype: Optional[str] = None  # compute dtype ('bfloat16' for speed); params stay f32
 
     def setup(self):
+        dtype = jnp.dtype(self.dtype) if self.dtype else None
         prep_cls = prep_lookup[self.prep_class]
         self.prep = prep_cls(n_nodes=self.n_nodes, embedding_dim=self.embedding_dim)
         agg_cls = aggregator_lookup[self.aggregator_class]
@@ -97,10 +99,11 @@ class GSSupervised(nn.Module):
                 activation=activation_lookup[spec.activation],
                 combine=self.combine,
                 hidden_dim=self.agg_hidden_dim,
+                dtype=dtype,
             )
             for spec in self.layer_specs
         ]
-        self.fc = nn.Dense(self.n_classes, name="fc")
+        self.fc = nn.Dense(self.n_classes, dtype=dtype, name="fc")
 
     def encode(self, levels: List[jnp.ndarray], feats: Optional[jnp.ndarray]) -> jnp.ndarray:
         """Collapse the neighborhood tree into per-root embeddings ``(B, D)``.

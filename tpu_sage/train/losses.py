@@ -15,12 +15,13 @@ import optax
 def cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Integer-target softmax CE; targets ``(B,)`` int, logits ``(B, C)``."""
     return optax.softmax_cross_entropy_with_integer_labels(
-        logits, targets.astype(jnp.int32)
+        logits.astype(jnp.float32), targets.astype(jnp.int32)
     ).mean()
 
 
 def multilabel_bce(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Per-class sigmoid BCE; targets ``(B, C)`` in {0,1}."""
+    logits = logits.astype(jnp.float32)
     return optax.sigmoid_binary_cross_entropy(logits, targets.astype(logits.dtype)).mean()
 
 

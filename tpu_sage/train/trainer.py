@@ -71,17 +71,22 @@ class TrainConfig:
     agg_hidden_dim: int = 512
     embedding_dim: int = 64
     param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic on the MXU path
 
     @classmethod
     def from_json(cls, path: str) -> "TrainConfig":
         with open(path) as f:
             d = json.load(f)
+        d = {k: v for k, v in d.items() if not k.startswith("_")}
         for k in ("n_train_samples", "n_val_samples", "output_dims"):
             if k in d:
                 d[k] = tuple(d[k])
         if "lr_kwargs" in d:
             d["lr_kwargs"] = tuple(sorted(d["lr_kwargs"].items()))
         return cls(**d)
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
 
 
 def build_model(config: TrainConfig, n_nodes: int, n_classes: int) -> GSSupervised:
@@ -100,6 +105,7 @@ def build_model(config: TrainConfig, n_nodes: int, n_classes: int) -> GSSupervis
         combine=config.combine,
         normalize=config.normalize,
         agg_hidden_dim=config.agg_hidden_dim,
+        dtype=None if config.compute_dtype == "float32" else config.compute_dtype,
     )
 
 
