@@ -105,3 +105,23 @@ def shard_fold(
             out[s] = np.tile(g, reps)[:L]
             weight[s] = 1.0
     return out, weight
+
+
+def shard_fold_masked(
+    fold_ids: np.ndarray, n_shards: int, shard_size: int,
+    pad_to_multiple: int = 1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact-count variant for evaluation: ``(ids (n_shards, L), mask)`` where
+    padding rows have mask 0 (each fold node counted exactly once)."""
+    owners = fold_ids // shard_size
+    groups = [fold_ids[owners == s] for s in range(n_shards)]
+    L = max(1, max(len(g) for g in groups))
+    if pad_to_multiple > 1:
+        L = -(-L // pad_to_multiple) * pad_to_multiple
+    ids = np.full((n_shards, L), 0, dtype=np.int64)
+    mask = np.zeros((n_shards, L), dtype=np.float32)
+    for s, g in enumerate(groups):
+        ids[s] = s * shard_size  # in-range placeholder
+        ids[s, : len(g)] = g
+        mask[s, : len(g)] = 1.0
+    return ids, mask

@@ -56,7 +56,9 @@ def sample_level_distributed(
     u = jax.random.uniform(key, (ids.shape[0], fanout))
     cols = jnp.minimum((u * deg[:, None].astype(u.dtype)).astype(jnp.int32),
                        deg[:, None] - 1)
-    nbr = jnp.take_along_axis(r_adj, cols, axis=1)
+    from tpu_sage.sample.sampler import select_columns
+
+    nbr = select_columns(r_adj, cols)  # vectorized; avoids TPU element gather
     # degree-0 rows (padding nodes) self-loop, matching single-device semantics
     nbr = jnp.where(r_deg[:, None] == 0, ids[:, None], nbr)
     return nbr.reshape(-1)
@@ -89,6 +91,7 @@ class PartitionedTrainer:
         self.tx = build_optimizer(config, steps_per_epoch)
         self.batch_per_shard = max(1, config.batch_size // self.n_shards)
         self._step_fn = None
+        self._eval_fn = None
 
     # -- construction helpers ----------------------------------------------
 
@@ -206,3 +209,87 @@ class PartitionedTrainer:
         if self._step_fn is None:
             self._step_fn = self._make_step()
         return self._step_fn(state, graph, fold_ids, fold_w)
+
+    # -- evaluation ---------------------------------------------------------
+
+    def _make_eval(self, task: str):
+        axis = self.axis
+        fanouts = self.model.fanouts(train=False)
+        model = self.model
+        bps = self.batch_per_shard
+
+        def shard_eval(params, key, adj, deg, feats, targets, ids, mask):
+            # ids/mask local: (1, n_chunks, bps); targets local (m, ...)
+            my = lax.axis_index(axis)
+            m = adj.shape[0]
+            offset = my * m
+            adj_deg = jnp.concatenate([adj, deg[:, None]], axis=1)
+            key = jax.random.fold_in(key, my)
+
+            def chunk_stats(k, batch):
+                cids, cmask = batch
+                k, sub = jax.random.split(k)
+                ks = jax.random.split(sub, len(fanouts))
+                levels = [cids]
+                for i, f in enumerate(fanouts):
+                    levels.append(
+                        sample_level_distributed(ks[i], adj_deg, levels[-1], f, axis)
+                    )
+                level_feats = [dist_gather(feats, l, axis) for l in levels]
+                logits = model.apply(
+                    params, levels, level_feats, method=model.forward_gathered
+                )
+                tgt = targets[cids - offset]
+                if task == "classification":
+                    correct = jnp.sum(
+                        (jnp.argmax(logits, -1) == tgt.astype(jnp.int32)) * cmask
+                    )
+                    return k, jnp.array([correct, cmask.sum(), 0.0])
+                preds = (logits > 0).astype(jnp.float32) * cmask[:, None]
+                t = tgt.astype(jnp.float32) * cmask[:, None]
+                tp = jnp.sum(preds * t)
+                fp = jnp.sum(preds * (1 - t) * cmask[:, None])
+                fn = jnp.sum((1 - preds) * t * cmask[:, None])
+                return k, jnp.array([tp, fp, fn])
+
+            _, stats = jax.lax.scan(chunk_stats, key, (ids[0], mask[0]))
+            return lax.psum(stats.sum(axis=0), axis)
+
+        rep, shd = P(), P(axis)
+        mapped = shard_map(
+            shard_eval,
+            mesh=self.mesh,
+            in_specs=(rep, rep, shd, shd, shd, shd, shd, shd),
+            out_specs=rep,
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    def evaluate(self, state, store: GraphStore, fold: str = "val",
+                 seed: int = 0) -> float:
+        """Full-fold metric on the node-sharded FULL graph (inductive
+        protocol, SURVEY.md §3.5), exact counts via masked padding."""
+        from tpu_sage.dist.partition import shard_fold_masked
+
+        graph_full, m = shard_graph(store, self.mesh, train=False, axis=self.axis)
+        ids, mask = shard_fold_masked(
+            store.folds[fold], self.n_shards, m, pad_to_multiple=self.batch_per_shard
+        )
+        n_chunks = ids.shape[1] // self.batch_per_shard
+        ids3 = ids.reshape(self.n_shards, n_chunks, self.batch_per_shard)
+        mask3 = mask.reshape(self.n_shards, n_chunks, self.batch_per_shard)
+        sh = NamedSharding(self.mesh, P(self.axis))
+        ids_d = jax.device_put(jnp.asarray(ids3, jnp.int32), sh)
+        mask_d = jax.device_put(jnp.asarray(mask3), sh)
+
+        if self._eval_fn is None:
+            self._eval_fn = self._make_eval(store.task)
+        stats = np.asarray(
+            self._eval_fn(state.params, jax.random.key(seed),
+                          graph_full.adj, graph_full.degrees, graph_full.feats,
+                          graph_full.targets, ids_d, mask_d)
+        )
+        if store.task == "classification":
+            return float(stats[0] / max(stats[1], 1.0))
+        tp, fp, fn = stats
+        return float(2 * tp / max(2 * tp + fp + fn, 1e-12))

@@ -43,7 +43,22 @@ def uniform_neighbor_sample(
     u = jax.random.uniform(key, (ids.shape[0], n_samples))
     # floor(u * deg) in [0, deg); guard the u==1.0-epsilon edge with a min.
     cols = jnp.minimum((u * deg[:, None].astype(u.dtype)).astype(jnp.int32), deg[:, None] - 1)
-    return adj[ids[:, None], cols]
+    rows = adj[ids]  # (B, max_degree) — ROW gather: contiguous 512B+ reads
+    return select_columns(rows, cols)
+
+
+def select_columns(rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
+    """``out[b, k] = rows[b, cols[b, k]]`` without an element gather.
+
+    A 2-D element gather of B·k scalars compiles to serial random loads on
+    TPU (measured: ~2.5 ms/step of the Reddit bench — 37% of the whole step).
+    The one-hot compare-select runs on the VPU as B·k·max_degree fused
+    compare+select+reduce ops (~17M for the Reddit shapes — sub-0.1 ms) and
+    is bit-identical to the gather.
+    """
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, rows.shape[-1]), 2)
+    hit = cols[:, :, None] == iota                       # (B, k, max_degree)
+    return jnp.sum(jnp.where(hit, rows[:, None, :], 0), axis=-1)
 
 
 def sample_tree(
