@@ -52,6 +52,7 @@ def main():
         epochs=3,
         lr_init=0.01,
         compute_dtype=compute_dtype,
+        fuse_first_layer=os.environ.get("BENCH_FUSE", "0") == "1",
     )
     train_ids = problem.folds["train"]
     steps_per_epoch = len(train_ids) // batch_size

@@ -158,3 +158,20 @@ def test_replica_debug_utils():
     fp = tree_fingerprint({"a": jnp.ones((3,)), "b": jnp.arange(4.0)})
     assert np.isfinite(float(fp))
     assert_replicas_equal({"x": jnp.ones(2)})  # single-process no-op
+
+
+def test_partitioned_training_bucketed_halo(mesh):
+    """Capacity-routed halo exchange also trains (overflow → graceful
+    fallback); convergence within a slightly looser bound."""
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=6, seed=12)
+    cfg = TrainConfig(batch_size=64, epochs=1, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32), lr_init=0.01,
+                      halo="bucketed", halo_capacity_factor=4.0)
+    trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(store, cfg, mesh)
+    state = trainer.init_state(feat_dim=store.feat_dim)
+    losses = []
+    for _ in range(30):
+        state, metrics = trainer.train_step(state, graph, fold_ids, fold_w)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]

@@ -100,3 +100,23 @@ def test_gradient_parity_mean():
     loss.backward()
     np.testing.assert_allclose(np.asarray(g_self), ts.grad.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_neigh), tn.grad.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_first_layer_matches_standard():
+    """fuse_first_layer (whole-table projection) is mathematically identical
+    to the standard gather-then-project path."""
+    n_nodes, D = 50, 16
+    feats = jax.random.normal(jax.random.key(10), (n_nodes, D))
+    levels_np = _levels(n_nodes=n_nodes, seed=3)
+    levels = [jnp.asarray(l) for l in levels_np]
+    kw = dict(
+        layer_specs=default_layer_specs(fanouts=(5, 3), output_dims=(24, 24)),
+        n_classes=4, aggregator_class="mean", prep_class="identity",
+        n_nodes=n_nodes,
+    )
+    m_std = GSSupervised(**kw)
+    m_fused = GSSupervised(**kw, fuse_first_layer=True)
+    params = m_std.init(jax.random.key(11), levels, feats)
+    a = np.asarray(m_std.apply(params, levels, feats))
+    b = np.asarray(m_fused.apply(params, levels, feats))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

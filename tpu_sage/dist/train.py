@@ -34,12 +34,35 @@ import optax
 from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpu_sage.dist.halo import dist_gather
+from tpu_sage.dist.halo import dist_gather, dist_gather_bucketed
 from tpu_sage.dist.partition import shard_fold, shard_graph
 from tpu_sage.graph.graph_data import DeviceGraph, GraphStore
 from tpu_sage.nn.model import GSSupervised
 from tpu_sage.train.losses import loss_lookup
 from tpu_sage.train.trainer import TrainConfig, TrainState, build_model, build_optimizer
+
+
+def make_gather(mode: str, n_shards: int, capacity_factor: float):
+    """Pick the halo-exchange implementation (SURVEY.md §5.7).
+
+    ``exact``: all_gather + psum_scatter — no drops, comm O(n_dev·q·d).
+    ``bucketed``: MoE-style capacity routing — comm O(capacity·d); queries
+    over capacity fall back to zero rows (adjacency fallback degrades to a
+    self-loop; feature fallback to zero features) — overflow is rare with
+    ``capacity_factor`` ≥ 2 on uniform neighbor distributions.
+    """
+    if mode == "exact":
+        return lambda table, ids, axis: dist_gather(table, ids, axis)
+
+    def bucketed(table, ids, axis):
+        q = ids.shape[0]
+        capacity = max(1, int(capacity_factor * q / n_shards))
+        rows, _ = dist_gather_bucketed(
+            table, ids, axis, n_shards=n_shards, capacity=capacity
+        )
+        return rows
+
+    return bucketed
 
 
 def sample_level_distributed(
@@ -48,9 +71,12 @@ def sample_level_distributed(
     ids: jnp.ndarray,       # (cur,) global frontier ids on this shard
     fanout: int,
     axis: str,
+    gather=None,
 ) -> jnp.ndarray:
     """One sampling hop with remote adjacency rows fetched by halo exchange."""
-    rows = dist_gather(adj_deg, ids, axis)            # (cur, max_degree+1)
+    if gather is None:
+        gather = lambda t, i, a: dist_gather(t, i, a)
+    rows = gather(adj_deg, ids, axis)                 # (cur, max_degree+1)
     r_adj, r_deg = rows[:, :-1], rows[:, -1]
     deg = jnp.maximum(r_deg, 1)
     u = jax.random.uniform(key, (ids.shape[0], fanout))
@@ -90,6 +116,11 @@ class PartitionedTrainer:
         self.loss_fn = loss_lookup[task]
         self.tx = build_optimizer(config, steps_per_epoch)
         self.batch_per_shard = max(1, config.batch_size // self.n_shards)
+        self.gather = make_gather(
+            getattr(config, "halo", "exact"),
+            self.n_shards,
+            getattr(config, "halo_capacity_factor", 2.0),
+        )
         self._step_fn = None
         self._eval_fn = None
 
@@ -140,6 +171,7 @@ class PartitionedTrainer:
         fanouts = self.model.fanouts(train=True)
         model, tx, loss_fn = self.model, self.tx, self.loss_fn
         bps = self.batch_per_shard
+        gather = self.gather
 
         def shard_step(params, opt_state, step, key, adj, deg, feats, targets,
                        fold_ids, fold_w):
@@ -163,9 +195,11 @@ class PartitionedTrainer:
                 ks = jax.random.split(k_sample, len(fanouts))
                 for i, f in enumerate(fanouts):
                     levels.append(
-                        sample_level_distributed(ks[i], adj_deg, levels[-1], f, axis)
+                        sample_level_distributed(
+                            ks[i], adj_deg, levels[-1], f, axis, gather
+                        )
                     )
-                level_feats = [dist_gather(feats, l, axis) for l in levels]
+                level_feats = [gather(feats, l, axis) for l in levels]
                 logits = model.apply(
                     p, levels, level_feats, method=model.forward_gathered
                 )
@@ -217,6 +251,7 @@ class PartitionedTrainer:
         fanouts = self.model.fanouts(train=False)
         model = self.model
         bps = self.batch_per_shard
+        gather = self.gather
 
         def shard_eval(params, key, adj, deg, feats, targets, ids, mask):
             # ids/mask local: (1, n_chunks, bps); targets local (m, ...)
@@ -233,9 +268,11 @@ class PartitionedTrainer:
                 levels = [cids]
                 for i, f in enumerate(fanouts):
                     levels.append(
-                        sample_level_distributed(ks[i], adj_deg, levels[-1], f, axis)
+                        sample_level_distributed(
+                            ks[i], adj_deg, levels[-1], f, axis, gather
+                        )
                     )
-                level_feats = [dist_gather(feats, l, axis) for l in levels]
+                level_feats = [gather(feats, l, axis) for l in levels]
                 logits = model.apply(
                     params, levels, level_feats, method=model.forward_gathered
                 )

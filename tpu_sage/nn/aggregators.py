@@ -55,7 +55,15 @@ def _combine(
 
 
 class MeanAggregator(nn.Module):
-    """``concat(W_self·x, W_neigh·mean(neighbors))`` (SURVEY.md §2.1)."""
+    """``concat(W_self·x, W_neigh·mean(neighbors))`` (SURVEY.md §2.1).
+
+    setup-style so the two projections are addressable individually: the
+    fused first-layer path (``GSSupervised.fuse_first_layer``) projects the
+    *whole* feature table once per step and gathers in output space —
+    projection and mean commute, so the math is identical while the dominant
+    HBM gather shrinks by ``feat_dim / output_dim`` (measured 2.76 ms → see
+    model.py).
+    """
 
     output_dim: int
     activation: Activation = nn.relu
@@ -64,11 +72,32 @@ class MeanAggregator(nn.Module):
     hidden_dim: int = 0  # unused; uniform ctor surface
     dtype: Dtype = None
 
-    @nn.compact
+    def setup(self):
+        self.fc_self = nn.Dense(self.output_dim, use_bias=self.use_bias,
+                                dtype=self.dtype, name="fc_self")
+        self.fc_neigh = nn.Dense(self.output_dim, use_bias=self.use_bias,
+                                 dtype=self.dtype, name="fc_neigh")
+
+    def _finish(self, h_self: jnp.ndarray, h_neigh: jnp.ndarray) -> jnp.ndarray:
+        if self.combine == "concat":
+            out = jnp.concatenate([h_self, h_neigh], axis=-1)
+        elif self.combine == "add":
+            out = h_self + h_neigh
+        else:
+            raise ValueError(f"unknown combine: {self.combine}")
+        return out if self.activation is None else self.activation(out)
+
     def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
-        summary = jnp.mean(x_neigh, axis=1)
-        return _combine(self, x_self, summary, self.output_dim, self.combine,
-                        self.activation, self.use_bias, self.dtype)
+        return self._finish(self.fc_self(x_self), self.fc_neigh(jnp.mean(x_neigh, axis=1)))
+
+    def project_table(self, table: jnp.ndarray):
+        """Project every node's features through both branches (fused path)."""
+        return self.fc_self(table), self.fc_neigh(table)
+
+    def combine_projected(self, h_self: jnp.ndarray, pn_neigh: jnp.ndarray) -> jnp.ndarray:
+        """Finish from pre-projected self rows and mean of pre-projected
+        neighbor rows (projection ∘ mean == mean ∘ projection)."""
+        return self._finish(h_self, jnp.mean(pn_neigh, axis=1))
 
 
 class PoolAggregator(nn.Module):

@@ -87,6 +87,10 @@ class GSSupervised(nn.Module):
     normalize: bool = True
     agg_hidden_dim: int = 512
     dtype: Optional[str] = None  # compute dtype ('bfloat16' for speed); params stay f32
+    fuse_first_layer: bool = False  # project the feature table once per step
+    # (mean aggregator + identity prep only): projection and fanout-mean
+    # commute, so gathering happens in output_dim space instead of feat_dim
+    # space — the dominant HBM gather shrinks by feat_dim/output_dim.
 
     def setup(self):
         dtype = jnp.dtype(self.dtype) if self.dtype else None
@@ -111,8 +115,36 @@ class GSSupervised(nn.Module):
         ``feats`` is the full (replicated) feature table; the per-level gather
         happens here. For node-sharded features use ``encode_gathered`` with
         halo-exchanged rows (tpu_sage.dist)."""
+        if (
+            self.fuse_first_layer
+            and self.aggregator_class == "mean"
+            and self.prep_class == "identity"
+            and feats is not None
+            and len(self.layer_specs) >= 1
+        ):
+            return self._encode_fused(levels, feats)
         gathered = [None if feats is None else feats[ids] for ids in levels]
         return self.encode_gathered(levels, gathered)
+
+    def _encode_fused(self, levels: List[jnp.ndarray], feats: jnp.ndarray) -> jnp.ndarray:
+        """First aggregation pass via whole-table projection (see class doc)."""
+        agg0 = self.agg_layers[0]
+        ps, pn = agg0.project_table(feats)           # (n_nodes, d0) each
+        h = []
+        for d in range(len(levels) - 1):
+            n_self = levels[d].shape[0]
+            h_self = ps[levels[d]]
+            neigh = pn[levels[d + 1]].reshape(n_self, -1, pn.shape[-1])
+            h.append(agg0.combine_projected(h_self, neigh))
+        for agg in self.agg_layers[1:]:
+            h = [
+                agg(h[d], h[d + 1].reshape(h[d].shape[0], -1, h[d + 1].shape[-1]))
+                for d in range(len(h) - 1)
+            ]
+        out = h[0]
+        if self.normalize:
+            out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        return out
 
     def encode_gathered(
         self,

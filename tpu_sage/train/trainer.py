@@ -72,6 +72,9 @@ class TrainConfig:
     embedding_dim: int = 64
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic on the MXU path
+    fuse_first_layer: bool = False  # whole-table projection trick (mean+identity)
+    halo: str = "exact"  # partitioned-path gather: "exact" | "bucketed"
+    halo_capacity_factor: float = 2.0  # bucketed capacity = factor*q/n_shards
 
     @classmethod
     def from_json(cls, path: str) -> "TrainConfig":
@@ -106,6 +109,7 @@ def build_model(config: TrainConfig, n_nodes: int, n_classes: int) -> GSSupervis
         normalize=config.normalize,
         agg_hidden_dim=config.agg_hidden_dim,
         dtype=None if config.compute_dtype == "float32" else config.compute_dtype,
+        fuse_first_layer=config.fuse_first_layer,
     )
 
 
