@@ -1,0 +1,73 @@
+"""Full-graph layer-wise inference vs a dense numpy oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_sage.data.synthetic import sbm_store
+from tpu_sage.nn.full_graph import embed_all_nodes
+from tpu_sage.train.trainer import TrainConfig, build_model
+
+
+def _numpy_reference(store, params, combine_act=True):
+    """Dense mean-aggregator 2-layer forward over all nodes (numpy)."""
+    p = jax.tree_util.tree_map(np.asarray, params)["params"]
+    h = store.feats.astype(np.float64)
+    for li in range(2):
+        pl = p[f"agg_layers_{li}"]
+        summary = np.zeros_like(h)
+        for v in range(store.n_nodes):
+            d = store.degrees[v]
+            if d > 0:
+                summary[v] = h[store.adj[v, :d]].mean(axis=0)
+        hs = h @ pl["fc_self"]["kernel"]
+        hn = summary @ pl["fc_neigh"]["kernel"]
+        out = np.concatenate([hs, hn], axis=-1)
+        if li == 0:
+            out = np.maximum(out, 0)
+        h = out
+    h = h / np.maximum(np.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    return h
+
+
+def test_full_graph_mean_matches_dense_oracle():
+    store = sbm_store(n_nodes=120, n_classes=3, feat_dim=8, avg_degree=5,
+                      max_degree=16, seed=17)
+    cfg = TrainConfig(n_train_samples=(4, 3), n_val_samples=(4, 3),
+                      output_dims=(16, 16))
+    model = build_model(cfg, store.n_nodes, store.n_classes)
+    graph = store.to_device(train=False)
+    levels = [jnp.zeros((4,), jnp.int32), jnp.zeros((16,), jnp.int32),
+              jnp.zeros((48,), jnp.int32)]
+    params = model.init(jax.random.key(0), levels, graph.feats)
+
+    out = np.asarray(embed_all_nodes(model, params, graph, chunk=32))
+    ref = _numpy_reference(store, params)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_full_graph_logits_and_pool():
+    store = sbm_store(n_nodes=100, n_classes=3, feat_dim=8, max_degree=8, seed=18)
+    cfg = TrainConfig(n_train_samples=(4, 3), n_val_samples=(4, 3),
+                      output_dims=(16, 16), aggregator_class="max_pool",
+                      agg_hidden_dim=16)
+    model = build_model(cfg, store.n_nodes, store.n_classes)
+    graph = store.to_device(train=False)
+    levels = [jnp.zeros((4,), jnp.int32), jnp.zeros((16,), jnp.int32),
+              jnp.zeros((48,), jnp.int32)]
+    params = model.init(jax.random.key(1), levels, graph.feats)
+    logits = embed_all_nodes(model, params, graph, chunk=25, with_head=True)
+    assert logits.shape == (100, 3)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_full_graph_rejects_sample_defined_aggregators():
+    store = sbm_store(n_nodes=60, n_classes=3, feat_dim=8, max_degree=8, seed=19)
+    cfg = TrainConfig(n_train_samples=(4, 3), n_val_samples=(4, 3),
+                      output_dims=(16, 16), aggregator_class="lstm",
+                      agg_hidden_dim=8)
+    model = build_model(cfg, store.n_nodes, store.n_classes)
+    graph = store.to_device(train=False)
+    with pytest.raises(ValueError, match="sample-defined"):
+        embed_all_nodes(model, None, graph)

@@ -56,6 +56,8 @@ def parse_args(argv=None):
     ap.add_argument("--checkpoint-path", default=None,
                     help="save params+opt state here at end (and resume if present)")
     ap.add_argument("--no-eval", action="store_true", help="skip per-epoch validation")
+    ap.add_argument("--val-interval", type=int, default=None,
+                    help="also validate every N train batches (reference-style)")
     ap.add_argument("--unsupervised", action="store_true",
                     help="train with the skip-gram negative-sampling objective "
                          "instead of the supervised head")
@@ -211,6 +213,7 @@ def main(argv=None):
         trainer, state, history = fit(
             problem, config, eval_every_epoch=not args.no_eval,
             resume_from=args.checkpoint_path, log=log,
+            val_interval_batches=args.val_interval,
         )
 
     if args.checkpoint_path:

@@ -1,0 +1,136 @@
+"""Full-graph layer-wise inference: exact embeddings for EVERY node.
+
+Serving-oriented capability beyond the reference: at inference time there is
+no reason to sample — each GraphSAGE layer can be evaluated over the whole
+graph at once (the standard layer-wise inference trick). Per layer, for every
+node: summarize ALL its (≤ max_degree) neighbors with a mask over padding,
+combine with the self vector, activation. Two layers give the same math the
+sampled tree converges to in expectation, with zero sampling variance — the
+right mode for production scoring and for exporting embedding tables.
+
+Memory is bounded by chunking the node axis: each chunk materializes
+``(chunk, max_degree, d)`` gathered neighbor rows. Everything is a jit'd
+``lax.map`` over chunks — static shapes, on-device end to end.
+
+Supports the linear-summary aggregators exactly (mean, gcn) and pool
+aggregators exactly (masked max/mean over all neighbors); LSTM/attention are
+order/subset-dependent by construction and keep their sampled semantics —
+``embed_all_nodes`` raises for them.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_sage.graph.graph_data import DeviceGraph
+from tpu_sage.nn.model import GSSupervised
+
+
+def _layer_full(
+    model, params, layer_idx: int, h: jnp.ndarray, graph: DeviceGraph, chunk: int
+) -> jnp.ndarray:
+    """Apply aggregation layer ``layer_idx`` to every node. ``h``: (n, d)."""
+    n = graph.n_nodes
+    max_deg = graph.max_degree
+    pad = (-n) % chunk
+    adj = jnp.concatenate([graph.adj, jnp.zeros((pad, max_deg), jnp.int32)]) if pad else graph.adj
+    deg = jnp.concatenate([graph.degrees, jnp.zeros((pad,), jnp.int32)]) if pad else graph.degrees
+    n_chunks = adj.shape[0] // chunk
+
+    def one_chunk(args):
+        rows, d_chunk, h_self = args           # (chunk, max_deg), (chunk,), (chunk, d)
+        neigh = h[rows]                         # (chunk, max_deg, d)
+        mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (chunk, max_deg), 1)
+            < d_chunk[:, None]
+        )
+        agg_name = model.aggregator_class
+        sub = {"params": params["params"][f"agg_layers_{layer_idx}"]}
+        # masked summaries mirror the aggregator math over ALL true neighbors
+        if agg_name in ("mean", "gcn"):
+            denom = jnp.maximum(d_chunk[:, None], 1).astype(h.dtype)
+            summary = jnp.where(mask[:, :, None], neigh, 0).sum(axis=1) / denom
+            if agg_name == "gcn":
+                # gcn summarizes mean(self ∪ neighbors)
+                summary = (summary * denom + h_self) / (denom + 1.0)
+            return _combine_with_params(model, layer_idx, sub, h_self, summary, agg_name)
+        if agg_name in ("max_pool", "mean_pool"):
+            mlp_out = _dense(sub, "mlp", neigh)
+            mlp_out = jax.nn.relu(mlp_out)
+            if agg_name == "max_pool":
+                neg = jnp.finfo(mlp_out.dtype).min
+                summary = jnp.where(mask[:, :, None], mlp_out, neg).max(axis=1)
+                # degree-0 nodes: fall back to zeros (no neighbors)
+                summary = jnp.where(d_chunk[:, None] > 0, summary, 0.0)
+            else:
+                denom = jnp.maximum(d_chunk[:, None], 1).astype(h.dtype)
+                summary = jnp.where(mask[:, :, None], mlp_out, 0).sum(axis=1) / denom
+            return _combine_with_params(model, layer_idx, sub, h_self, summary, agg_name)
+        raise ValueError(f"full-graph inference unsupported for {agg_name}")
+
+    rows_c = adj.reshape(n_chunks, chunk, max_deg)
+    deg_c = deg.reshape(n_chunks, chunk)
+    h_pad = jnp.concatenate([h, jnp.zeros((pad, h.shape[1]), h.dtype)]) if pad else h
+    h_c = h_pad.reshape(n_chunks, chunk, h.shape[1])
+    out = jax.lax.map(one_chunk, (rows_c, deg_c, h_c))
+    return out.reshape(-1, out.shape[-1])[:n]
+
+
+def _dense(sub, name, x):
+    p = sub["params"][name]
+    out = x @ p["kernel"]
+    if "bias" in p:
+        out = out + p["bias"]
+    return out
+
+
+def _combine_with_params(model, layer_idx, sub, h_self, summary, agg_name):
+    from tpu_sage.nn.model import activation_lookup
+
+    spec = model.layer_specs[layer_idx]
+    act = activation_lookup[spec.activation]
+    if agg_name == "gcn":
+        out = _dense(sub, "fc", summary)
+    else:
+        hs = _dense(sub, "fc_self", h_self)
+        hn = _dense(sub, "fc_neigh", summary)
+        out = jnp.concatenate([hs, hn], axis=-1) if model.combine == "concat" else hs + hn
+    return out if act is None else act(out)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _embed_jit(model, params, graph, chunk, with_head):
+    h = graph.feats
+    if model.prep_class == "linear":
+        h = _dense({"params": params["params"]["prep"]}, "fc", h)
+    elif model.prep_class == "node_embedding":
+        emb = params["params"]["prep"]["embedding"]["embedding"]
+        h = jnp.concatenate([h, emb], axis=-1)
+    for layer_idx in range(len(model.layer_specs)):
+        h = _layer_full(model, params, layer_idx, h, graph, chunk)
+    if model.normalize:
+        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    if with_head:
+        h = _dense(params, "fc", h)
+    return h
+
+
+def embed_all_nodes(
+    model: GSSupervised,
+    params,
+    graph: DeviceGraph,
+    chunk: int = 4096,
+    with_head: bool = False,
+) -> jnp.ndarray:
+    """Exact embeddings (or logits with ``with_head``) for all nodes."""
+    if model.aggregator_class not in ("mean", "gcn", "max_pool", "mean_pool"):
+        raise ValueError(
+            f"full-graph inference needs a permutation-invariant aggregator "
+            f"over all neighbors; {model.aggregator_class!r} is sample-defined"
+        )
+    return _embed_jit(model, params, graph, chunk, with_head)

@@ -29,7 +29,8 @@ import optax
 
 from tpu_sage.graph.graph_data import DeviceGraph
 from tpu_sage.nn.model import GSSupervised
-from tpu_sage.sample.sampler import sample_tree, uniform_neighbor_sample
+from tpu_sage.sample.sampler import (gather_levels, pack_adjacency,
+                                     sample_tree_packed, uniform_neighbor_sample)
 from tpu_sage.train.trainer import TrainConfig, TrainState, build_model, build_optimizer
 
 
@@ -102,9 +103,10 @@ class UnsupervisedTrainer:
         )
 
     def _encode(self, params, key, graph: DeviceGraph, ids: jnp.ndarray) -> jnp.ndarray:
-        levels = sample_tree(
-            key, graph.adj, graph.degrees, ids, self.model.fanouts(train=True)
-        )
+        from tpu_sage.sample.sampler import sample_tree
+
+        levels = sample_tree(key, graph.adj, graph.degrees, ids,
+                             self.model.fanouts(train=True))
         return self.model.apply(params, levels, graph.feats, method=self.model.encode)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
