@@ -60,3 +60,29 @@ def test_unsupervised_embeddings_are_useful():
     probe = LogisticRegression(max_iter=500).fit(z_train, y[train_ids])
     acc = probe.score(z_val, y[val_ids])
     assert acc > 0.6, acc  # chance = 0.25
+
+
+def test_walk_corpus_mode(tmp_path):
+    """h5 walks dataset → corpus-positive unsupervised training (reference
+    walks.txt analog, SURVEY.md §3.4)."""
+    from tpu_sage.data.convert import generate_walks, save_problem_h5
+    from tpu_sage.data.problem import NodeProblem
+    from tpu_sage.data.synthetic import sbm_store
+    from tpu_sage.train.trainer import TrainConfig
+    from tpu_sage.train.unsupervised import fit_unsupervised
+
+    store = sbm_store(n_nodes=300, n_classes=3, feat_dim=16, seed=23)
+    walks = generate_walks(store.train_adj, store.train_degrees,
+                           np.arange(store.n_nodes), n_walks=4, walk_len=4, seed=1)
+    assert walks.shape == (300, 4, 5)
+    # corpus walks stay on the train graph and start at the right node
+    assert (walks[:, :, 0] == np.arange(300)[:, None]).all()
+    path = str(tmp_path / "p.h5")
+    save_problem_h5(store, path, walks=walks)
+    problem = NodeProblem.from_h5(path)
+    assert problem.walks is not None and problem.walks.shape == (300, 4, 5)
+
+    cfg = TrainConfig(batch_size=64, epochs=2, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(16, 16), lr_init=0.01)
+    _, _, hist = fit_unsupervised(problem, cfg, log=lambda d: None)
+    assert hist[-1]["unsup_loss"] < hist[0]["unsup_loss"]

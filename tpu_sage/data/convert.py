@@ -21,8 +21,32 @@ from tpu_sage.data.synthetic import fold_codes_from_folds
 from tpu_sage.graph.graph_data import GraphStore, build_padded_adjacency
 
 
-def save_problem_h5(store: GraphStore, outpath: str) -> None:
-    """Write a GraphStore to the problem.h5 schema."""
+def generate_walks(
+    adj: np.ndarray, degrees: np.ndarray, starts: np.ndarray,
+    n_walks: int, walk_len: int, seed: int = 0,
+) -> np.ndarray:
+    """Random-walk corpus ``(n_starts, n_walks, walk_len+1)`` — the reference
+    ETL's ``walks.txt`` analog (SURVEY.md §3.4). Uses the native C++ generator
+    when available, else a vectorized numpy fallback."""
+    from tpu_sage import native
+
+    if native.available():
+        return native.random_walks(adj, degrees, starts, n_walks, walk_len, seed)
+    rng = np.random.default_rng(seed)
+    cur = np.repeat(starts.astype(np.int32), n_walks).reshape(-1)
+    out = np.empty((len(cur), walk_len + 1), dtype=np.int32)
+    out[:, 0] = cur
+    for t in range(1, walk_len + 1):
+        deg = np.maximum(degrees[cur], 1)
+        cols = (rng.random(len(cur)) * deg).astype(np.int64)
+        cur = adj[cur, np.minimum(cols, deg - 1)].astype(np.int32)
+        out[:, t] = cur
+    return out.reshape(len(starts), n_walks, walk_len + 1)
+
+
+def save_problem_h5(store: GraphStore, outpath: str,
+                    walks: "np.ndarray | None" = None) -> None:
+    """Write a GraphStore to the problem.h5 schema (+ optional walk corpus)."""
     import h5py
 
     os.makedirs(os.path.dirname(os.path.abspath(outpath)), exist_ok=True)
@@ -36,6 +60,8 @@ def save_problem_h5(store: GraphStore, outpath: str) -> None:
         f.create_dataset(
             "folds", data=fold_codes_from_folds(store.n_nodes, store.folds)
         )
+        if walks is not None:
+            f.create_dataset("walks", data=walks.astype(np.int32))
         f.attrs["task"] = store.task
         f.attrs["n_classes"] = store.n_classes
 
@@ -172,12 +198,21 @@ def main(argv=None):  # pragma: no cover - thin CLI
     ap.add_argument("--max-degree", type=int, default=128)
     ap.add_argument("--task", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-walks", type=int, default=0,
+                    help="also store a random-walk corpus (train adjacency)")
+    ap.add_argument("--walk-length", type=int, default=5)
     args = ap.parse_args(argv)
     store = from_wl_json(
         args.inpath, args.prefix, max_degree=args.max_degree, task=args.task,
         seed=args.seed,
     )
-    save_problem_h5(store, args.outpath)
+    walks = None
+    if args.n_walks > 0:
+        walks = generate_walks(
+            store.train_adj, store.train_degrees,
+            np.arange(store.n_nodes), args.n_walks, args.walk_length, args.seed,
+        )
+    save_problem_h5(store, args.outpath, walks=walks)
     print(json.dumps({
         "n_nodes": store.n_nodes, "max_degree": store.max_degree,
         "feat_dim": store.feat_dim, "task": store.task,

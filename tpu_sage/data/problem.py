@@ -49,6 +49,7 @@ class NodeProblem:
         self.task = store.task
         self.n_classes = store.n_classes
         self.folds: Dict[str, np.ndarray] = store.folds
+        self.walks = None  # optional (n_nodes, n_walks, L+1) corpus
         self._device_graphs: Dict[tuple, DeviceGraph] = {}
 
     # -- constructors ------------------------------------------------------
@@ -73,6 +74,7 @@ class NodeProblem:
             feats = f["feats"][:].astype(np.float32)
             targets = f["targets"][:]
             fold_codes = f["folds"][:]
+            walks = f["walks"][:] if "walks" in f else None
             task = f.attrs.get("task", "classification")
             if isinstance(task, bytes):
                 task = task.decode()
@@ -93,7 +95,9 @@ class NodeProblem:
             task=task,
             n_classes=n_classes,
         )
-        return cls(store)
+        problem = cls(store)
+        problem.walks = walks
+        return problem
 
     # -- properties --------------------------------------------------------
 

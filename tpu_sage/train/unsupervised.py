@@ -71,6 +71,9 @@ class UnsupConfig:
     walk_length: int = 3     # hops between anchor and positive
     n_negatives: int = 10    # Q
     neg_power: float = 0.0   # 0 = uniform; 0.75 = word2vec-style degree smoothing
+    # positives come from on-device walks by default; a precomputed corpus
+    # (problem.h5 "walks" dataset, reference walks.txt analog) can be supplied
+    # to fit_unsupervised(walks=...) instead
 
 
 class UnsupervisedTrainer:
@@ -111,13 +114,24 @@ class UnsupervisedTrainer:
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(
-        self, state: TrainState, graph: DeviceGraph, ids: jnp.ndarray
+        self, state: TrainState, graph: DeviceGraph, ids: jnp.ndarray,
+        walks: Optional[jnp.ndarray] = None,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         key, k_walk, k_neg, k_u, k_p, k_n = jax.random.split(state.key, 6)
         b = ids.shape[0]
         q = self.unsup.n_negatives
 
-        pos = random_walk(k_walk, graph.adj, graph.degrees, ids, self.unsup.walk_length)
+        if walks is not None:
+            # skip-gram positive from the precomputed corpus: random walk row
+            # and random co-occurring position per anchor
+            kw1, kw2 = jax.random.split(k_walk)
+            wi = jax.random.randint(kw1, (b,), 0, walks.shape[1])
+            pi = jax.random.randint(kw2, (b,), 1, walks.shape[2])
+            rows = walks[ids]                                # (b, W, L+1)
+            pos = rows[jnp.arange(b), wi, pi]
+        else:
+            pos = random_walk(k_walk, graph.adj, graph.degrees, ids,
+                              self.unsup.walk_length)
         if self.unsup.neg_power > 0:
             logits = self.unsup.neg_power * jnp.log(
                 jnp.maximum(graph.degrees.astype(jnp.float32), 1.0)
@@ -168,6 +182,7 @@ def fit_unsupervised(
     config: TrainConfig,
     unsup: Optional[UnsupConfig] = None,
     log=None,
+    walks: Optional[np.ndarray] = None,
 ) -> Tuple[UnsupervisedTrainer, TrainState, list]:
     """Epoch loop over all train-fold nodes with the NCE objective."""
     import json as _json
@@ -184,6 +199,9 @@ def fit_unsupervised(
     trainer = UnsupervisedTrainer(model, config, unsup, steps_per_epoch)
     graph = problem.device_graph(train=True)
     state = trainer.init_state(graph)
+    if walks is None:
+        walks = getattr(problem, "walks", None)
+    walks_d = None if walks is None else jnp.asarray(walks, jnp.int32)
 
     rng = np.random.default_rng(config.seed)
     history = []
@@ -194,7 +212,7 @@ def fit_unsupervised(
         losses = []
         for i in range(steps_per_epoch):
             ids = jnp.asarray(perm[i * b : (i + 1) * b], jnp.int32)
-            state, m = trainer.train_step(state, graph, ids)
+            state, m = trainer.train_step(state, graph, ids, walks_d)
             losses.append(float(m["loss"]))
         rec = {"epoch": epoch, "unsup_loss": float(np.mean(losses)),
                "elapsed": round(time.time() - t0, 4)}
