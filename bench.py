@@ -30,9 +30,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from tpu_sage.utils import enable_compilation_cache
-
-    enable_compilation_cache()
 
     from tpu_sage.data.synthetic import bench_store
     from tpu_sage.data.problem import NodeProblem

@@ -94,9 +94,6 @@ def main(argv=None):
         return 2
 
     # Late imports keep `--help` fast (no jax/TPU bring-up).
-    from tpu_sage.utils import enable_compilation_cache
-
-    enable_compilation_cache()
     if args.debug_nans:
         import jax
 

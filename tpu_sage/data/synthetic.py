@@ -121,6 +121,59 @@ def sbm_problem(**kwargs) -> NodeProblem:
     return NodeProblem(sbm_store(**kwargs))
 
 
+def assortative_bench_store(
+    n_nodes: int = 232_965,
+    feat_dim: int = 602,
+    n_classes: int = 41,
+    max_degree: int = 128,
+    p_in: float = 0.7,
+    feat_signal: float = 0.5,
+    feat_noise: float = 1.0,
+    seed: int = 0,
+) -> GraphStore:
+    """Reddit-scale graph where the GRAPH carries the label signal.
+
+    Each adjacency slot is same-class with probability ``p_in`` (else uniform
+    random), and features carry only a weak class signal — so reaching good
+    accuracy requires actual neighborhood aggregation, not a linear probe of
+    the features. The quality showcase for the canonical Reddit-mean config
+    (scripts/showcase.py).
+    """
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, n_classes, size=n_nodes)
+    order = np.argsort(labels, kind="stable")
+    sorted_labels = labels[order]
+    class_start = np.searchsorted(sorted_labels, np.arange(n_classes))
+    class_size = np.bincount(labels, minlength=n_classes)
+
+    same = rng.random((n_nodes, max_degree)) < p_in
+    start = class_start[labels][:, None]
+    size = np.maximum(class_size[labels][:, None], 1)
+    within = (rng.random((n_nodes, max_degree)) * size).astype(np.int64)
+    same_ids = order[start + np.minimum(within, size - 1)]
+    other_ids = rng.integers(0, n_nodes, size=(n_nodes, max_degree))
+    adj = np.where(same, same_ids, other_ids).astype(np.int32)
+    degrees = np.full(n_nodes, max_degree, dtype=np.int32)
+
+    centroids = rng.normal(size=(n_classes, feat_dim)).astype(np.float32)
+    feats = (
+        feat_signal * centroids[labels]
+        + rng.normal(scale=feat_noise, size=(n_nodes, feat_dim))
+    ).astype(np.float32)
+    folds = _split_folds(n_nodes, rng, val_frac=0.1, test_frac=0.1)
+    return GraphStore(
+        adj=adj,
+        degrees=degrees,
+        train_adj=adj,
+        train_degrees=degrees,
+        feats=feats,
+        targets=labels.astype(np.int64),
+        folds=folds,
+        task="classification",
+        n_classes=n_classes,
+    )
+
+
 def bench_store(
     n_nodes: int = 232_965,
     feat_dim: int = 602,

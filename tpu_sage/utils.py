@@ -29,7 +29,10 @@ def to_numpy(x) -> np.ndarray:
 
 
 def enable_compilation_cache(path: Optional[str] = None) -> None:
-    """Persistent jit-compile cache (best effort; harmless if unsupported)."""
+    """Persistent jit-compile cache. NOT wired in by default: on the axon
+    backend a cache populated by an interrupted run made subsequent
+    ``bench.py`` executions hang (suspected partial-entry deserialization
+    against the remote-compile path). Opt in only on standard backends."""
     import jax
 
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
