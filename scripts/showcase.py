@@ -35,13 +35,16 @@ def main(argv=None):
     if args.check_features_insufficient:
         from sklearn.linear_model import LogisticRegression
 
-        tr = problem.folds["train"][:20000]
-        va = problem.folds["val"][:5000]
-        probe = LogisticRegression(max_iter=200).fit(
+        print(json.dumps({"status": "fitting feature-only control probe"}),
+              flush=True)
+        tr = problem.folds["train"][:8000]
+        va = problem.folds["val"][:4000]
+        probe = LogisticRegression(max_iter=80, tol=1e-2).fit(
             store.feats[tr], store.targets[tr]
         )
         acc = probe.score(store.feats[va], store.targets[va])
-        print(json.dumps({"feature_only_probe_acc": round(float(acc), 4)}),
+        print(json.dumps({"feature_only_probe_acc": round(float(acc), 4),
+                          "chance": round(1.0 / store.n_classes, 4)}),
               flush=True)
 
     config = TrainConfig(

@@ -79,3 +79,23 @@ def test_sampler_jit_and_determinism():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     c = f(jax.random.key(8), ids)
     assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_packed_tree_matches_unpacked():
+    """sample_tree_packed draws the SAME samples as sample_tree for the same
+    key (interchangeable hot-path implementations)."""
+    from tpu_sage.sample.sampler import (gather_levels, pack_adjacency,
+                                         sample_tree_packed)
+
+    adj, deg = _graph()
+    ids = jnp.array([0, 1, 2], dtype=jnp.int32)
+    key = jax.random.key(9)
+    a = sample_tree(key, adj, deg, ids, (5, 3))
+    b = sample_tree_packed(key, pack_adjacency(adj, deg), ids, (5, 3))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    feats = jnp.arange(5 * 4, dtype=jnp.float32).reshape(5, 4)
+    gathered = gather_levels(feats, a)
+    for lvl, g in zip(a, gathered):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(feats[lvl]))

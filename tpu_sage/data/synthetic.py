@@ -127,8 +127,8 @@ def assortative_bench_store(
     n_classes: int = 41,
     max_degree: int = 128,
     p_in: float = 0.7,
-    feat_signal: float = 0.5,
-    feat_noise: float = 1.0,
+    feat_signal: float = 0.05,  # calibrated: feature-only probe ≈12% (41 cls),
+    feat_noise: float = 1.0,    # while 25-neighbor aggregation separates fully
     seed: int = 0,
 ) -> GraphStore:
     """Reddit-scale graph where the GRAPH carries the label signal.

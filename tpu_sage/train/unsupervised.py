@@ -117,18 +117,25 @@ class UnsupervisedTrainer:
         self, state: TrainState, graph: DeviceGraph, ids: jnp.ndarray,
         walks: Optional[jnp.ndarray] = None,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        key, k_walk, k_neg, k_u, k_p, k_n = jax.random.split(state.key, 6)
+        key, sub = jax.random.split(state.key)
+        loss, grads = self._nce_loss_and_grads(state.params, sub, graph, ids, walks)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1, key=key),
+            {"loss": loss},
+        )
+
+    def _nce_loss_and_grads(self, params, key, graph, ids, walks):
+        """Shared by train_step and the epoch scan."""
+        k_walk, k_neg, k_u, k_p, k_n = jax.random.split(key, 5)
         b = ids.shape[0]
         q = self.unsup.n_negatives
-
         if walks is not None:
-            # skip-gram positive from the precomputed corpus: random walk row
-            # and random co-occurring position per anchor
             kw1, kw2 = jax.random.split(k_walk)
             wi = jax.random.randint(kw1, (b,), 0, walks.shape[1])
             pi = jax.random.randint(kw2, (b,), 1, walks.shape[2])
-            rows = walks[ids]                                # (b, W, L+1)
-            pos = rows[jnp.arange(b), wi, pi]
+            pos = walks[ids][jnp.arange(b), wi, pi]
         else:
             pos = random_walk(k_walk, graph.adj, graph.degrees, ids,
                               self.unsup.walk_length)
@@ -141,19 +148,45 @@ class UnsupervisedTrainer:
             neg = jax.random.randint(k_neg, (b * q,), 0, graph.n_nodes)
         neg = neg.astype(jnp.int32)
 
-        def loss_of(params):
-            z_u = self._encode(params, k_u, graph, ids)
-            z_p = self._encode(params, k_p, graph, pos)
-            z_n = self._encode(params, k_n, graph, neg).reshape(b, q, -1)
+        def loss_of(p):
+            z_u = self._encode(p, k_u, graph, ids)
+            z_p = self._encode(p, k_p, graph, pos)
+            z_n = self._encode(p, k_n, graph, neg).reshape(b, q, -1)
             return nce_loss(z_u, z_p, z_n)
 
-        loss, grads = jax.value_and_grad(loss_of)(state.params)
-        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(params=params, opt_state=opt_state, step=state.step + 1, key=key),
-            {"loss": loss},
-        )
+        return jax.value_and_grad(loss_of)(params)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_epoch(
+        self,
+        state: TrainState,
+        graph: DeviceGraph,
+        node_ids: jnp.ndarray,                    # (n,) train-fold ids
+        walks: Optional[jnp.ndarray] = None,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """Whole epoch as one lax.scan — zero per-step host traffic (the
+        supervised ``train_epoch`` counterpart)."""
+        b = self.config.batch_size
+        n_batches = max(1, node_ids.shape[0] // b)
+        n = n_batches * b
+        key, perm_key = jax.random.split(state.key)
+        perm = jax.random.permutation(perm_key, node_ids.shape[0])[:n]
+        ids_b = node_ids[perm].reshape(n_batches, b).astype(jnp.int32)
+        state = state.replace(key=key)
+
+        def body(st, ids):
+            k, sub = jax.random.split(st.key)
+            loss, grads = self._nce_loss_and_grads(st.params, sub, graph, ids, walks)
+            updates, opt_state = self.tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return (
+                TrainState(params=params, opt_state=opt_state,
+                           step=st.step + 1, key=k),
+                loss,
+            )
+
+        state, losses = jax.lax.scan(body, state, ids_b)
+        return state, {"loss": losses.mean()}
 
     @partial(jax.jit, static_argnums=0)
     def embed_batch(self, params, graph: DeviceGraph, ids: jnp.ndarray, key) -> jnp.ndarray:
@@ -203,18 +236,12 @@ def fit_unsupervised(
         walks = getattr(problem, "walks", None)
     walks_d = None if walks is None else jnp.asarray(walks, jnp.int32)
 
-    rng = np.random.default_rng(config.seed)
+    node_ids = jnp.asarray(train_ids, jnp.int32)
     history = []
-    b = config.batch_size
     for epoch in range(config.epochs):
         t0 = time.time()
-        perm = rng.permutation(train_ids)
-        losses = []
-        for i in range(steps_per_epoch):
-            ids = jnp.asarray(perm[i * b : (i + 1) * b], jnp.int32)
-            state, m = trainer.train_step(state, graph, ids, walks_d)
-            losses.append(float(m["loss"]))
-        rec = {"epoch": epoch, "unsup_loss": float(np.mean(losses)),
+        state, m = trainer.train_epoch(state, graph, node_ids, walks_d)
+        rec = {"epoch": epoch, "unsup_loss": float(m["loss"]),
                "elapsed": round(time.time() - t0, 4)}
         history.append(rec)
         log(rec)
