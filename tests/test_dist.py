@@ -175,3 +175,34 @@ def test_partitioned_training_bucketed_halo(mesh):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
+
+
+def test_dist_gather_ring_exact(mesh):
+    from tpu_sage.dist.halo import dist_gather_ring
+
+    n, d, q = 64, 16, 24
+    table, table_d = _sharded_table(mesh, n, d, seed=20)
+    rng = np.random.default_rng(21)
+    ids = rng.integers(0, n, size=(8, q)).astype(np.int32)
+    ids_d = jax.device_put(jnp.asarray(ids.reshape(-1)), NamedSharding(mesh, P("data")))
+    out = shard_map(
+        lambda t, i: dist_gather_ring(t, i, "data", n_shards=8),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
+        check_vma=False,
+    )(table_d, ids_d)
+    np.testing.assert_array_equal(np.asarray(out), table[ids.reshape(-1)])
+
+
+def test_partitioned_training_ring_halo(mesh):
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=6, seed=22)
+    cfg = TrainConfig(batch_size=64, epochs=1, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32), lr_init=0.01,
+                      halo="ring")
+    trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(store, cfg, mesh)
+    state = trainer.init_state(feat_dim=store.feat_dim)
+    losses = []
+    for _ in range(30):
+        state, metrics = trainer.train_step(state, graph, fold_ids, fold_w)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]

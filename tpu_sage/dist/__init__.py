@@ -1,4 +1,5 @@
-from tpu_sage.dist.halo import dist_gather, dist_gather_bucketed
+from tpu_sage.dist.halo import (dist_gather, dist_gather_bucketed,
+                                dist_gather_ring)
 from tpu_sage.dist.mesh import data_sharding, make_mesh, replicated
 from tpu_sage.dist.partition import shard_fold, shard_graph
 from tpu_sage.dist.train import PartitionedTrainer
@@ -6,6 +7,7 @@ from tpu_sage.dist.train import PartitionedTrainer
 __all__ = [
     "dist_gather",
     "dist_gather_bucketed",
+    "dist_gather_ring",
     "make_mesh",
     "data_sharding",
     "replicated",

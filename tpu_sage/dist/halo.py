@@ -64,6 +64,46 @@ def dist_gather(
     return lax.psum_scatter(flat, axis_name, scatter_dimension=0, tiled=True)
 
 
+def dist_gather_ring(
+    local_table: jnp.ndarray,  # (m, d) rows owned by this shard
+    ids: jnp.ndarray,          # (q,) GLOBAL ids queried by this shard
+    axis_name: str,
+    n_shards: int,
+) -> jnp.ndarray:
+    """Ring-rotation distributed gather (the ring-attention analog —
+    SURVEY.md §5.7 "ppermute-ring variant").
+
+    The (query ids ‖ answer buffer) pair rotates around the ring; each shard
+    fills the rows it owns as the buffer passes through. n hops of
+    ``ppermute`` move the same total bytes as the exact mode, but as a chain
+    of neighbor exchanges that XLA can pipeline with the per-hop fill compute
+    — the preferred shape when all_to_all/psum_scatter schedules poorly.
+    Exact: every entry equals ``global_table[ids]``.
+    """
+    m = local_table.shape[0]
+    my = lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def fill(buf_ids, buf_ans):
+        offset = my * m
+        local_idx = jnp.clip(buf_ids - offset, 0, m - 1)
+        rows = local_table[local_idx]
+        owned = (buf_ids >= offset) & (buf_ids < offset + m)
+        return jnp.where(
+            owned.reshape(owned.shape + (1,) * (rows.ndim - 1)), rows, buf_ans
+        )
+
+    buf_ids = ids
+    buf_ans = jnp.zeros(ids.shape + local_table.shape[1:], local_table.dtype)
+    buf_ans = fill(buf_ids, buf_ans)          # home fill
+    for _ in range(n_shards - 1):             # visit the other n-1 shards
+        buf_ids = lax.ppermute(buf_ids, axis_name, perm)
+        buf_ans = lax.ppermute(buf_ans, axis_name, perm)
+        buf_ans = fill(buf_ids, buf_ans)
+    # one final hop brings the buffer back to its origin shard
+    return lax.ppermute(buf_ans, axis_name, perm)
+
+
 def dist_gather_bucketed(
     local_table: jnp.ndarray,   # (m, d)
     ids: jnp.ndarray,           # (q,) global ids

@@ -34,7 +34,8 @@ import optax
 from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpu_sage.dist.halo import dist_gather, dist_gather_bucketed
+from tpu_sage.dist.halo import (dist_gather, dist_gather_bucketed,
+                                dist_gather_ring)
 from tpu_sage.dist.partition import shard_fold, shard_graph
 from tpu_sage.graph.graph_data import DeviceGraph, GraphStore
 from tpu_sage.nn.model import GSSupervised
@@ -46,6 +47,8 @@ def make_gather(mode: str, n_shards: int, capacity_factor: float):
     """Pick the halo-exchange implementation (SURVEY.md §5.7).
 
     ``exact``: all_gather + psum_scatter — no drops, comm O(n_dev·q·d).
+    ``ring``: ppermute neighbor-hop chain, same bytes as exact but pipelines
+    the exchange with the per-hop fill (the ring-attention-style fallback).
     ``bucketed``: MoE-style capacity routing — comm O(capacity·d); queries
     over capacity fall back to zero rows (adjacency fallback degrades to a
     self-loop; feature fallback to zero features) — overflow is rare with
@@ -53,6 +56,8 @@ def make_gather(mode: str, n_shards: int, capacity_factor: float):
     """
     if mode == "exact":
         return lambda table, ids, axis: dist_gather(table, ids, axis)
+    if mode == "ring":
+        return lambda table, ids, axis: dist_gather_ring(table, ids, axis, n_shards)
 
     def bucketed(table, ids, axis):
         q = ids.shape[0]

@@ -1,0 +1,86 @@
+"""Embedding / logits export for serving (full-graph inference).
+
+    python -m tpu_sage.export --problem-path p.h5 --checkpoint model.npz \
+        --out embeddings.npy [--logits] [--aggregator-class mean ...]
+
+Loads a trained checkpoint, runs exact layer-wise inference over every node
+(tpu_sage.nn.full_graph — no sampling variance), and writes an ``.npy`` the
+serving stack can mmap. The model flags must match the training run (or pass
+the same ``--config`` preset).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--problem-path")
+    src.add_argument("--synthetic", choices=["sbm"])
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--logits", action="store_true",
+                    help="export classifier logits instead of embeddings")
+    ap.add_argument("--chunk", type=int, default=4096)
+    # model flags (must match training) when no --config given
+    ap.add_argument("--aggregator-class", default="mean")
+    ap.add_argument("--prep-class", default="identity")
+    ap.add_argument("--n-train-samples", default="25,10")
+    ap.add_argument("--n-val-samples", default="25,10")
+    ap.add_argument("--output-dims", default="128,128")
+    ap.add_argument("--synthetic-nodes", type=int, default=2708)
+    ap.add_argument("--seed", type=int, default=123)
+    args = ap.parse_args(argv)
+
+    from tpu_sage.data.problem import NodeProblem
+    from tpu_sage.nn.full_graph import embed_all_nodes
+    from tpu_sage.train.checkpoint import load_checkpoint
+    from tpu_sage.train.trainer import TrainConfig, Trainer, build_model
+
+    if args.config:
+        config = TrainConfig.from_json(args.config)
+    else:
+        ints = lambda s: tuple(int(x) for x in s.split(","))
+        config = TrainConfig(
+            aggregator_class=args.aggregator_class,
+            prep_class=args.prep_class,
+            n_train_samples=ints(args.n_train_samples),
+            n_val_samples=ints(args.n_val_samples),
+            output_dims=ints(args.output_dims),
+            seed=args.seed,
+        )
+
+    if args.synthetic:
+        from tpu_sage.data.synthetic import sbm_problem
+
+        problem = sbm_problem(n_nodes=args.synthetic_nodes, seed=args.seed)
+    else:
+        problem = NodeProblem.from_h5(args.problem_path)
+
+    model = build_model(config, problem.n_nodes, problem.n_classes)
+    trainer = Trainer(model, config, steps_per_epoch=1, task=problem.task)
+    graph = problem.device_graph(train=False)
+    template = trainer.init_state(graph)
+    state = load_checkpoint(args.checkpoint, template)
+
+    out = embed_all_nodes(model, state.params, graph, chunk=args.chunk,
+                          with_head=args.logits)
+    arr = np.asarray(out)
+    np.save(args.out, arr)
+    print(json.dumps({
+        "out": args.out, "shape": list(arr.shape),
+        "kind": "logits" if args.logits else "embeddings",
+        "from_step": int(state.step),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -74,7 +74,7 @@ class TrainConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic on the MXU path
     fuse_first_layer: bool = False  # whole-table projection trick (mean+identity)
-    halo: str = "exact"  # partitioned-path gather: "exact" | "bucketed"
+    halo: str = "exact"  # partitioned-path gather: "exact" | "ring" | "bucketed"
     halo_capacity_factor: float = 2.0  # bucketed capacity = factor*q/n_shards
 
     @classmethod
