@@ -23,9 +23,8 @@ node-embedding table rides replicated — acceptable at GraphSAGE scales).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

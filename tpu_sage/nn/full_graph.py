@@ -21,7 +21,6 @@ order/subset-dependent by construction and keep their sampled semantics —
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

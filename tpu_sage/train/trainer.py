@@ -33,9 +33,8 @@ import optax
 from flax import struct
 
 from tpu_sage.graph.graph_data import DeviceGraph
-from tpu_sage.nn.model import GSSupervised, LayerSpec, default_layer_specs
-from tpu_sage.sample.sampler import (gather_levels, pack_adjacency,
-                                     sample_tree, sample_tree_packed)
+from tpu_sage.nn.model import GSSupervised, default_layer_specs
+from tpu_sage.sample.sampler import sample_tree
 from tpu_sage.train.losses import loss_lookup
 from tpu_sage.train.lr import LRSchedule
 from tpu_sage.train.metrics import metric_lookup

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,8 +29,7 @@ import optax
 
 from tpu_sage.graph.graph_data import DeviceGraph
 from tpu_sage.nn.model import GSSupervised
-from tpu_sage.sample.sampler import (gather_levels, pack_adjacency,
-                                     sample_tree_packed, uniform_neighbor_sample)
+from tpu_sage.sample.sampler import uniform_neighbor_sample
 from tpu_sage.train.trainer import TrainConfig, TrainState, build_model, build_optimizer
 
 
