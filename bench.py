@@ -35,6 +35,10 @@ def main():
     from tpu_sage.data.problem import NodeProblem
     from tpu_sage.train.trainer import TrainConfig, Trainer, build_model
 
+    # 512 is the reference's canonical Reddit batch and measures most stably
+    # on this backend (the axon tunnel's per-session state adds variance at
+    # larger batches: 1024 measured 60.6M edges/s in one session and ~31M in
+    # another — STATUS.md). Quality matches at either size (RESULTS.md).
     batch_size = int(os.environ.get("BENCH_BATCH", 512))
     fanouts = (25, 10)
     store = bench_store()
