@@ -149,7 +149,6 @@ class PartitionedTrainer:
     def init_state(self, feat_dim: int, key: Optional[jax.Array] = None) -> TrainState:
         if key is None:
             key = jax.random.key(self.config.seed)
-        key, init_key, state_key = jax.random.split(key, 3)
         fanouts = self.model.fanouts(train=True)
         b = self.batch_per_shard
         levels = [jnp.zeros((b,), jnp.int32)]
@@ -157,16 +156,25 @@ class PartitionedTrainer:
         for f in fanouts:
             levels.append(jnp.zeros((levels[-1].shape[0] * f,), jnp.int32))
             feats.append(jnp.zeros((levels[-1].shape[0], feat_dim)))
-        params = self.model.init(
-            init_key, levels, feats, method=self.model.forward_gathered
-        )
-        opt_state = self.tx.init(params)
-        state = TrainState(
-            params=params, opt_state=opt_state,
-            step=jnp.zeros((), jnp.int32), key=state_key,
-        )
+
         rep = NamedSharding(self.mesh, P())
-        return jax.device_put(state, rep)
+
+        # Build the replicated state INSIDE a jit with out_shardings: this is
+        # the multi-host-safe placement path (a plain device_put of host
+        # values cannot target non-addressable devices of a cross-process
+        # mesh; the jit'd computation runs identically on every process).
+        def make(k):
+            k, init_key, state_key = jax.random.split(k, 3)
+            params = self.model.init(
+                init_key, levels, feats, method=self.model.forward_gathered
+            )
+            opt_state = self.tx.init(params)
+            return TrainState(
+                params=params, opt_state=opt_state,
+                step=jnp.zeros((), jnp.int32), key=state_key,
+            )
+
+        return jax.jit(make, out_shardings=rep)(key)
 
     # -- the sharded step ---------------------------------------------------
 
