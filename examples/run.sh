@@ -6,8 +6,8 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-export PALLAS_AXON_POOL_IPS=${USE_TPU:+$PALLAS_AXON_POOL_IPS}
 if [ -z "${USE_TPU:-}" ]; then
+  # default: CPU (clear the axon trigger); set USE_TPU=1 to keep the TPU env
   export PALLAS_AXON_POOL_IPS="" JAX_PLATFORMS=cpu
 fi
 

@@ -98,7 +98,8 @@ def test_shard_fold_wrap_and_weights():
     fold = np.array([0, 1, 2, 10, 11, 30])  # shards 0,1,3 of 8 (size 10 ea → use 4 shards)
     ids, w = shard_fold(fold, n_shards=4, shard_size=10)
     assert ids.shape == (4, 3)
-    assert w.tolist() == [1.0, 1.0, 0.0, 1.0]
+    # weights are fold-count / L so wrapped duplicates don't skew the loss
+    np.testing.assert_allclose(w, [3 / 3, 2 / 3, 0.0, 1 / 3])
     assert set(ids[0]) == {0, 1, 2}
     assert set(ids[1]) == {10, 11}  # wrapped
     assert set(ids[3]) == {30}

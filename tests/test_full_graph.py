@@ -21,6 +21,8 @@ def _numpy_reference(store, params, combine_act=True):
             d = store.degrees[v]
             if d > 0:
                 summary[v] = h[store.adj[v, :d]].mean(axis=0)
+            else:
+                summary[v] = h[v]  # sampled-path self-loop semantics
         hs = h @ pl["fc_self"]["kernel"]
         hn = summary @ pl["fc_neigh"]["kernel"]
         out = np.concatenate([hs, hn], axis=-1)
@@ -34,6 +36,11 @@ def _numpy_reference(store, params, combine_act=True):
 def test_full_graph_mean_matches_dense_oracle():
     store = sbm_store(n_nodes=120, n_classes=3, feat_dim=8, avg_degree=5,
                       max_degree=16, seed=17)
+    # force an isolated node to exercise the self-loop fallback
+    store.degrees[7] = 0
+    store.adj[7] = 7
+    store.train_degrees[7] = 0
+    store.train_adj[7] = 7
     cfg = TrainConfig(n_train_samples=(4, 3), n_val_samples=(4, 3),
                       output_dims=(16, 16))
     model = build_model(cfg, store.n_nodes, store.n_classes)

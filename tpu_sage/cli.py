@@ -80,6 +80,9 @@ def _parse_ints(s: str):
 
 
 def main(argv=None):
+    import sys as _sys
+
+    raw_argv = list(_sys.argv[1:] if argv is None else argv)
     args = parse_args(argv)
 
     fanouts = _parse_ints(args.n_train_samples)
@@ -158,12 +161,13 @@ def main(argv=None):
         "normalize": not args.no_normalize,
     }
     if args.config:
-        # preset json is the base; explicitly-set CLI flags override it
+        # preset json is the base; flags PRESENT ON THE COMMAND LINE override
+        # it (detected from raw argv so passing a flag's default value still
+        # counts as explicit)
         config = TrainConfig.from_json(args.config)
-        flag_defaults = vars(parse_args(["--synthetic", "sbm"]))
+        present = {a.split("=", 1)[0] for a in raw_argv if a.startswith("--")}
         explicit = {
-            k for k, v in vars(args).items()
-            if k in flag_defaults and v != flag_defaults[k]
+            opt.lstrip("-").replace("-", "_") for opt in present
         }
         override_keys = {
             "aggregator_class", "prep_class", "batch_size", "epochs",

@@ -29,7 +29,13 @@ FOLD_CODES = {"train": 0, "val": 1, "test": 2}
 def infer_degrees(adj: np.ndarray) -> np.ndarray:
     """Recover true degrees from a self-id-padded table (fallback for
     artifacts missing the ``degrees`` dataset): degree = max_degree minus the
-    trailing run of self-id entries."""
+    trailing run of self-id entries.
+
+    Caveat: a REAL stored self-loop occupying the trailing slot(s) is
+    indistinguishable from padding and is undercounted. Our own ETL always
+    writes the ``degrees`` dataset, so this path only triggers on foreign
+    artifacts; if those may contain explicit self-loop edges, supply degrees
+    explicitly."""
     n, max_degree = adj.shape
     self_ids = np.arange(n, dtype=adj.dtype)[:, None]
     is_pad = adj == self_ids

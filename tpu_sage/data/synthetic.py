@@ -101,6 +101,7 @@ def sbm_store(
     elif task in ("regression", "regression_mae"):
         w = rng.normal(size=(feat_dim, 1)).astype(np.float32)
         targets = (feats @ w + rng.normal(scale=0.1, size=(n_nodes, 1))).astype(np.float32)
+        n_classes = 1  # regression head width = target columns, not classes
     else:
         raise ValueError(f"unknown task: {task}")
 

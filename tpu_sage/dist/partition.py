@@ -103,7 +103,7 @@ def shard_fold(
         else:
             reps = -(-L // len(g))
             out[s] = np.tile(g, reps)[:L]
-            weight[s] = 1.0
+            weight[s] = len(g) / L
     return out, weight
 
 

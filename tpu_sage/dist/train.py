@@ -127,6 +127,7 @@ class PartitionedTrainer:
         )
         self._step_fn = None
         self._eval_fn = None
+        self._eval_graph = None  # cached (graph, shard_size) for evaluate()
 
     # -- construction helpers ----------------------------------------------
 
@@ -320,7 +321,15 @@ class PartitionedTrainer:
         protocol, SURVEY.md §3.5), exact counts via masked padding."""
         from tpu_sage.dist.partition import shard_fold_masked
 
-        graph_full, m = shard_graph(store, self.mesh, train=False, axis=self.axis)
+        if store.task not in ("classification", "multilabel_classification"):
+            raise ValueError(
+                f"partitioned evaluation supports classification tasks only; "
+                f"got {store.task!r} (use the single-device Trainer.evaluate)"
+            )
+        if self._eval_graph is None:
+            self._eval_graph = shard_graph(store, self.mesh, train=False,
+                                           axis=self.axis)
+        graph_full, m = self._eval_graph
         ids, mask = shard_fold_masked(
             store.folds[fold], self.n_shards, m, pad_to_multiple=self.batch_per_shard
         )

@@ -50,25 +50,32 @@ def _layer_full(
         )
         agg_name = model.aggregator_class
         sub = {"params": params["params"][f"agg_layers_{layer_idx}"]}
-        # masked summaries mirror the aggregator math over ALL true neighbors
+        # masked summaries mirror the aggregator math over ALL true neighbors.
+        # degree-0 nodes SELF-LOOP (neighbor summary drawn from the node
+        # itself), matching the sampled path's padding semantics — the model
+        # was trained with that behavior (graph_data.py padding idiom).
+        isolated = d_chunk[:, None] == 0
         if agg_name in ("mean", "gcn"):
             denom = jnp.maximum(d_chunk[:, None], 1).astype(h.dtype)
             summary = jnp.where(mask[:, :, None], neigh, 0).sum(axis=1) / denom
+            summary = jnp.where(isolated, h_self, summary)
             if agg_name == "gcn":
-                # gcn summarizes mean(self ∪ neighbors)
-                summary = (summary * denom + h_self) / (denom + 1.0)
+                # gcn summarizes mean(self ∪ neighbors); isolated → self
+                summary = jnp.where(
+                    isolated, h_self, (summary * denom + h_self) / (denom + 1.0)
+                )
             return _combine_with_params(model, layer_idx, sub, h_self, summary, agg_name)
         if agg_name in ("max_pool", "mean_pool"):
             mlp_out = _dense(sub, "mlp", neigh)
             mlp_out = jax.nn.relu(mlp_out)
+            self_mlp = jax.nn.relu(_dense(sub, "mlp", h_self))  # self-loop fallback
             if agg_name == "max_pool":
                 neg = jnp.finfo(mlp_out.dtype).min
                 summary = jnp.where(mask[:, :, None], mlp_out, neg).max(axis=1)
-                # degree-0 nodes: fall back to zeros (no neighbors)
-                summary = jnp.where(d_chunk[:, None] > 0, summary, 0.0)
             else:
                 denom = jnp.maximum(d_chunk[:, None], 1).astype(h.dtype)
                 summary = jnp.where(mask[:, :, None], mlp_out, 0).sum(axis=1) / denom
+            summary = jnp.where(isolated, self_mlp, summary)
             return _combine_with_params(model, layer_idx, sub, h_self, summary, agg_name)
         raise ValueError(f"full-graph inference unsupported for {agg_name}")
 

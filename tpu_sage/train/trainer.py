@@ -113,16 +113,23 @@ def build_model(config: TrainConfig, n_nodes: int, n_classes: int) -> GSSupervis
     )
 
 
-def build_optimizer(config: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
-    """Adam (reference default) with the per-batch LR schedule compiled in:
-    ``lr(step) = schedule(step / steps_per_epoch)``."""
+def make_schedule(config: TrainConfig, steps_per_epoch: int):
+    """``lr(step) = schedule(step / steps_per_epoch)`` — single construction
+    point shared by the optax chain and metric logging."""
     sched_factory = LRSchedule.lookup[config.lr_schedule]
     kwargs = dict(config.lr_kwargs)
     kwargs.setdefault("epochs", float(config.epochs))
     sched = sched_factory(lr_init=config.lr_init, **kwargs)
 
     def lr_fn(step):
-        return sched(step.astype(jnp.float32) / float(steps_per_epoch))
+        return sched(jnp.asarray(step, jnp.float32) / float(steps_per_epoch))
+
+    return lr_fn
+
+
+def build_optimizer(config: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    """Adam (reference default) with the per-batch LR schedule compiled in."""
+    lr_fn = make_schedule(config, steps_per_epoch)
 
     if config.optimizer == "adam":
         tx = optax.adam(learning_rate=lr_fn)
@@ -155,13 +162,7 @@ class Trainer:
         self.metric_fn = metric_fn or metric_lookup[task]
         self.steps_per_epoch = steps_per_epoch
         self.tx = build_optimizer(config, steps_per_epoch)
-        self._lr_fn = None  # derived below for logging
-
-        sched_factory = LRSchedule.lookup[config.lr_schedule]
-        kwargs = dict(config.lr_kwargs)
-        kwargs.setdefault("epochs", float(config.epochs))
-        sched = sched_factory(lr_init=config.lr_init, **kwargs)
-        self._lr_fn = lambda step: sched(jnp.asarray(step, jnp.float32) / float(steps_per_epoch))
+        self._lr_fn = make_schedule(config, steps_per_epoch)  # for metric logging
 
     # -- state -------------------------------------------------------------
 
@@ -228,8 +229,13 @@ class Trainer:
         """One epoch as a single XLA computation: permute → reshape → scan."""
         b = self.config.batch_size
         n_batches = fold_ids.shape[0] // b
+        if n_batches == 0:
+            raise ValueError(
+                f"train fold ({fold_ids.shape[0]} nodes) is smaller than "
+                f"batch_size={b}; lower the batch size"
+            )
         n = n_batches * b
-        key, perm_key, sample_key = jax.random.split(state.key, 3)
+        key, perm_key = jax.random.split(state.key)
         perm = jax.random.permutation(perm_key, fold_ids.shape[0])[:n]
         ids_b = fold_ids[perm].reshape(n_batches, b)
         tgt_b = fold_targets[perm].reshape((n_batches, b) + fold_targets.shape[1:])
@@ -370,6 +376,11 @@ def fit(
         log = lambda d: print(json.dumps(d), flush=True)
 
     train_ids = problem.folds["train"]
+    if len(train_ids) < config.batch_size:
+        # static shapes need a full batch; shrink to the fold (reference's
+        # ragged last batch is a host-side behavior we replace with this)
+        config = config.replace(batch_size=max(1, len(train_ids)))
+        log({"note": f"batch_size clamped to train fold size {config.batch_size}"})
     steps_per_epoch = max(1, len(train_ids) // config.batch_size)
     model = build_model(config, problem.n_nodes, problem.n_classes)
     trainer = Trainer(model, config, steps_per_epoch, task=problem.task)
@@ -405,6 +416,7 @@ def fit(
             # the epoch in sub-epoch segments with a validation after each
             seg = val_interval_batches * config.batch_size
             losses = []
+            last_lr = trainer._lr_fn(state.step)
             for start in range(0, len(train_ids) - config.batch_size + 1, seg):
                 seg_ids = fold_ids[start : start + seg]
                 seg_tgt = fold_targets[start : start + seg]
@@ -412,9 +424,11 @@ def fit(
                     break
                 state, m = trainer.train_epoch(state, graph_train, seg_ids, seg_tgt)
                 losses.append(float(m["loss"]))
+                last_lr = m["lr"]
                 log(validate({"epoch": epoch, "batch_offset": start // config.batch_size,
                               "train_loss": losses[-1]}))
-            train_metrics = {"loss": np.mean(losses), "lr": m["lr"]}
+            train_metrics = {"loss": np.mean(losses) if losses else float("nan"),
+                             "lr": last_lr}
         else:
             state, train_metrics = trainer.train_epoch(
                 state, graph_train, fold_ids, fold_targets
