@@ -445,4 +445,13 @@ def fit(
             rec = validate(rec)
         history.append(rec)
         log(rec)
+
+    test_ids = problem.folds.get("test", np.array([], dtype=np.int64))
+    if eval_every_epoch and len(test_ids):
+        log({
+            "final_test_metric": trainer.evaluate(
+                state.params, graph_full, test_ids,
+                problem.store.targets[test_ids], eval_key,
+            )
+        })  # logged, not appended: history keeps per-epoch records only
     return trainer, state, history
