@@ -45,11 +45,14 @@ def main():
     problem = NodeProblem(store)
 
     compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    aggregator = os.environ.get("BENCH_AGG", "mean")
     config = TrainConfig(
+        aggregator_class=aggregator,
         batch_size=batch_size,
         n_train_samples=fanouts,
         n_val_samples=fanouts,
         output_dims=(128, 128),
+        agg_hidden_dim=int(os.environ.get("BENCH_HIDDEN", 512)),
         epochs=3,
         lr_init=0.01,
         compute_dtype=compute_dtype,
@@ -97,7 +100,7 @@ def main():
             vs = edges_per_sec / json.load(f)["torch_edges_per_sec"]
 
     print(json.dumps({
-        "metric": "reddit_shaped_graphsage_mean_edges_per_sec_per_chip",
+        "metric": f"reddit_shaped_graphsage_{aggregator}_edges_per_sec_per_chip",
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,

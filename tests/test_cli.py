@@ -1,0 +1,63 @@
+"""CLI argument plumbing tests (in-process main() on the CPU backend)."""
+
+import json
+
+import pytest
+
+from tpu_sage.cli import main, parse_args
+
+
+def _capture(capsys):
+    out = capsys.readouterr().out.strip().splitlines()
+    return [json.loads(l) for l in out if l.startswith("{")]
+
+
+def test_unknown_aggregator_exits_2(capsys):
+    rc = main(["--synthetic", "sbm", "--aggregator-class", "bogus"])
+    assert rc == 2
+
+
+def test_mismatched_dims_exits_2():
+    rc = main(["--synthetic", "sbm", "--n-train-samples", "25,10",
+               "--output-dims", "128"])
+    assert rc == 2
+
+
+def test_unknown_schedule_exits_2():
+    rc = main(["--synthetic", "sbm", "--lr-schedule", "nope"])
+    assert rc == 2
+
+
+def test_end_to_end_tiny(capsys):
+    rc = main(["--synthetic", "sbm", "--synthetic-nodes", "300",
+               "--n-train-samples", "4,3", "--n-val-samples", "4,3",
+               "--output-dims", "16,16", "--batch-size", "32",
+               "--epochs", "1"])
+    assert rc == 0
+    recs = _capture(capsys)
+    assert any("train_loss" in r for r in recs)
+    assert any("final_test_metric" in r for r in recs)
+
+
+def test_config_preset_with_explicit_default_value(capsys, tmp_path):
+    """A flag passed with its argparse-default VALUE still overrides the
+    preset (regression for the raw-argv explicitness fix)."""
+    preset = tmp_path / "p.json"
+    preset.write_text(json.dumps({
+        "batch_size": 1024, "epochs": 7, "lr_schedule": "linear",
+        "n_train_samples": [4, 3], "n_val_samples": [4, 3],
+        "output_dims": [16, 16],
+    }))
+    rc = main(["--config", str(preset), "--synthetic", "sbm",
+               "--synthetic-nodes", "300", "--batch-size", "256",
+               "--epochs", "1", "--no-eval"])
+    assert rc == 0
+    cfg = _capture(capsys)[0]["config"]
+    assert cfg["batch_size"] == 256     # explicit flag (== argparse default)
+    assert cfg["epochs"] == 1           # explicit flag
+    assert cfg["lr_schedule"] == "linear"  # preset value kept
+
+
+def test_parse_ints():
+    args = parse_args(["--synthetic", "sbm", "--n-train-samples", "5,3,2"])
+    assert args.n_train_samples == "5,3,2"
