@@ -41,3 +41,12 @@ def test_preset_trains(preset, task):
     _, _, hist = fit(problem, cfg, log=lambda d: None)
     assert hist[-1]["train_loss"] < hist[0]["train_loss"] * 1.05
     assert "val_metric" in hist[-1]
+
+
+def test_unknown_config_key_raises(tmp_path):
+    import json
+
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"batch_sizee": 64}))
+    with pytest.raises(ValueError, match="unknown config keys"):
+        TrainConfig.from_json(str(p))

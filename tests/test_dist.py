@@ -207,3 +207,20 @@ def test_partitioned_training_ring_halo(mesh):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+
+
+def test_partitioned_train_epoch_scan(mesh):
+    """Scanned multi-step partitioned path matches the per-step path's
+    convergence behavior in one dispatch."""
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=6, seed=30)
+    cfg = TrainConfig(batch_size=64, epochs=1, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32), lr_init=0.01)
+    trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(store, cfg, mesh)
+    state = trainer.init_state(feat_dim=store.feat_dim)
+    state, m0 = trainer.train_epoch(state, graph, fold_ids, fold_w, n_steps=5)
+    l0 = float(m0["loss"])
+    state, m1 = trainer.train_epoch(state, graph, fold_ids, fold_w, n_steps=25)
+    l1 = float(m1["loss"])
+    assert np.isfinite([l0, l1]).all()
+    assert l1 < l0, (l0, l1)
+    assert int(state.step) == 30

@@ -118,6 +118,7 @@ class PartitionedTrainer:
         self.shard_size = shard_size
         self.n_shards = mesh.shape[axis]
         self.loss_fn = loss_lookup[task]
+        self.steps_per_epoch = steps_per_epoch
         self.tx = build_optimizer(config, steps_per_epoch)
         self.batch_per_shard = max(1, config.batch_size // self.n_shards)
         self.gather = make_gather(
@@ -126,6 +127,7 @@ class PartitionedTrainer:
             getattr(config, "halo_capacity_factor", 2.0),
         )
         self._step_fn = None
+        self._epoch_fns = {}
         self._eval_fn = None
         self._eval_graph = None  # cached (graph, shard_size) for evaluate()
 
@@ -256,6 +258,94 @@ class PartitionedTrainer:
         if self._step_fn is None:
             self._step_fn = self._make_step()
         return self._step_fn(state, graph, fold_ids, fold_w)
+
+    def _make_epoch(self, n_steps: int):
+        """Scanned multi-step path: ``n_steps`` partitioned train steps in one
+        XLA computation — one host dispatch per epoch, the multi-chip
+        counterpart of ``Trainer.train_epoch`` (per-step host syncs cost
+        ~35 ms each through the axon tunnel)."""
+        axis = self.axis
+        fanouts = self.model.fanouts(train=True)
+        model, tx, loss_fn = self.model, self.tx, self.loss_fn
+        bps = self.batch_per_shard
+        gather = self.gather
+
+        def shard_epoch(params, opt_state, step0, key, adj, deg, feats, targets,
+                        fold_ids, fold_w):
+            my = lax.axis_index(axis)
+            m = adj.shape[0]
+            offset = my * m
+            adj_deg = jnp.concatenate([adj, deg[:, None]], axis=1)
+            w = fold_w[0]
+
+            def body(carry, _):
+                params, opt_state, step = carry
+                k = jax.random.fold_in(jax.random.fold_in(key, step), my)
+                k_batch, k_sample = jax.random.split(k)
+                idx = jax.random.randint(k_batch, (bps,), 0, fold_ids.shape[1])
+                ids = fold_ids[0, idx]
+                tgt = targets[ids - offset]
+
+                def fwd(p):
+                    levels = [ids]
+                    ks = jax.random.split(k_sample, len(fanouts))
+                    for i, f in enumerate(fanouts):
+                        levels.append(
+                            sample_level_distributed(
+                                ks[i], adj_deg, levels[-1], f, axis, gather
+                            )
+                        )
+                    level_feats = [gather(feats, l, axis) for l in levels]
+                    logits = model.apply(
+                        p, levels, level_feats, method=model.forward_gathered
+                    )
+                    scale = w / jnp.maximum(lax.psum(w, axis), 1e-12)
+                    return loss_fn(logits, tgt) * scale
+
+                loss_s, grads = jax.value_and_grad(fwd)(params)
+                loss = lax.psum(loss_s, axis)
+                grads = lax.psum(grads, axis)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, step + 1), loss
+
+            (params, opt_state, step), losses = jax.lax.scan(
+                body, (params, opt_state, step0), None, length=n_steps
+            )
+            return params, opt_state, step, losses.mean()
+
+        rep, shd = P(), P(axis)
+        mapped = shard_map(
+            shard_epoch,
+            mesh=self.mesh,
+            in_specs=(rep, rep, rep, rep, shd, shd, shd, shd, shd, shd),
+            out_specs=(rep, rep, rep, rep),
+            check_vma=False,
+        )
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def epoch_fn(state: TrainState, graph: DeviceGraph, fold_ids, fold_w):
+            new_key = jax.random.fold_in(state.key, state.step)
+            params, opt_state, step, loss = mapped(
+                state.params, state.opt_state, state.step, state.key,
+                graph.adj, graph.degrees, graph.feats, graph.targets,
+                fold_ids, fold_w,
+            )
+            return (
+                TrainState(params=params, opt_state=opt_state, step=step, key=new_key),
+                {"loss": loss},
+            )
+
+        return epoch_fn
+
+    def train_epoch(self, state, graph, fold_ids, fold_w,
+                    n_steps: Optional[int] = None):
+        """Run ``n_steps`` (default: steps_per_epoch) partitioned steps as one
+        scanned computation."""
+        n = int(n_steps or self.steps_per_epoch)
+        if self._epoch_fns.get(n) is None:
+            self._epoch_fns[n] = self._make_epoch(n)
+        return self._epoch_fns[n](state, graph, fold_ids, fold_w)
 
     # -- evaluation ---------------------------------------------------------
 

@@ -81,6 +81,13 @@ class TrainConfig:
         with open(path) as f:
             d = json.load(f)
         d = {k: v for k, v in d.items() if not k.startswith("_")}
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ValueError(
+                f"unknown config keys in {path}: {sorted(unknown)}; "
+                f"valid keys: {sorted(known)}"
+            )
         for k in ("n_train_samples", "n_val_samples", "output_dims"):
             if k in d:
                 d[k] = tuple(d[k])
