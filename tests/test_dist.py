@@ -224,3 +224,68 @@ def test_partitioned_train_epoch_scan(mesh):
     assert np.isfinite([l0, l1]).all()
     assert l1 < l0, (l0, l1)
     assert int(state.step) == 30
+
+
+def test_degree_balanced_reorder():
+    """Reordering balances edges across shards and preserves graph semantics."""
+    from tpu_sage.dist.partition import (degree_balanced_permutation,
+                                         reorder_store)
+
+    # heavily skewed graph: first 64 nodes have degree ~16, rest ~1
+    rng = np.random.default_rng(33)
+    n = 256
+    src = np.concatenate([np.repeat(np.arange(64), 16),
+                          np.arange(64, n)])
+    dst = rng.integers(0, n, len(src))
+    edges = np.stack([src, dst], 1)
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    from tpu_sage.data.convert import from_edgelist
+
+    feats = rng.normal(size=(n, 8)).astype(np.float32)
+    targets = rng.integers(0, 3, n)
+    folds = {"train": np.arange(0, 200), "val": np.arange(200, 230),
+             "test": np.arange(230, 256)}
+    store = from_edgelist(edges, feats, targets, folds, max_degree=16)
+
+    n_shards = 4
+    m = -(-n // n_shards)
+    # contiguous partition: shard 0 owns all heavy nodes
+    before = [store.degrees[s * m:(s + 1) * m].sum() for s in range(n_shards)]
+    perm = degree_balanced_permutation(store.degrees, n_shards)
+    store2 = reorder_store(store, perm)
+    after = [store2.degrees[s * m:(s + 1) * m].sum() for s in range(n_shards)]
+    assert max(after) - min(after) < max(before) - min(before)
+    assert max(after) / max(np.mean(after), 1) < 1.3  # near-balanced
+
+    # semantics preserved: total edges, per-node neighborhoods up to relabel
+    assert store2.degrees.sum() == store.degrees.sum()
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+    for old in rng.choice(n, 20, replace=False):
+        new = inv[old]
+        d = store.degrees[old]
+        assert store2.degrees[new] == d
+        old_nbrs = set(store.adj[old, :d].tolist())
+        new_nbrs = {int(perm[x]) for x in store2.adj[new, :d]}
+        assert new_nbrs == old_nbrs
+    # folds relabeled consistently: same targets multiset per fold
+    for f in ("train", "val", "test"):
+        a = np.sort(store.targets[store.folds[f]])
+        b = np.sort(store2.targets[store2.folds[f]])
+        np.testing.assert_array_equal(a, b)
+
+
+def test_reordered_store_trains_partitioned(mesh):
+    from tpu_sage.dist.partition import (degree_balanced_permutation,
+                                         reorder_store)
+
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=6, seed=35)
+    store = reorder_store(store, degree_balanced_permutation(store.degrees, 8))
+    cfg = TrainConfig(batch_size=64, epochs=1, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32), lr_init=0.01)
+    trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(store, cfg, mesh)
+    state = trainer.init_state(feat_dim=store.feat_dim)
+    state, m0 = trainer.train_epoch(state, graph, fold_ids, fold_w, n_steps=25)
+    assert np.isfinite(float(m0["loss"]))
+    acc = trainer.evaluate(state, store, fold="val")
+    assert acc > 0.5

@@ -210,6 +210,19 @@ def main(argv=None):
             UnsupConfig(walk_length=args.walk_length, n_negatives=args.n_negatives),
             log=log,
         )
+        if not args.no_eval and problem.task == "classification":
+            # paper protocol: logistic probe on the learned embeddings
+            from sklearn.linear_model import LogisticRegression
+
+            graph_full = problem.device_graph(train=False)
+            tr, va = problem.folds["train"], problem.folds["val"]
+            if len(tr) and len(va):
+                z_tr = trainer.embed_all(state.params, graph_full, tr)
+                z_va = trainer.embed_all(state.params, graph_full, va)
+                y = problem.store.targets
+                probe = LogisticRegression(max_iter=200).fit(z_tr, y[tr])
+                rec = {"probe_val_accuracy": float(probe.score(z_va, y[va]))}
+                print(json.dumps(rec), flush=True)
     else:
         trainer, state, history = fit(
             problem, config, eval_every_epoch=not args.no_eval,
