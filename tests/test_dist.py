@@ -289,3 +289,18 @@ def test_reordered_store_trains_partitioned(mesh):
     assert np.isfinite(float(m0["loss"]))
     acc = trainer.evaluate(state, store, fold="val")
     assert acc > 0.5
+
+
+def test_fit_partitioned_end_to_end(mesh):
+    from tpu_sage.dist.train import fit_partitioned
+
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=8,
+                      feat_noise=0.5, seed=36)
+    cfg = TrainConfig(batch_size=64, epochs=3, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32), lr_init=0.01)
+    recs = []
+    _, state, hist = fit_partitioned(store, cfg, mesh=mesh, log=recs.append)
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+    assert hist[-1]["val_metric"] > 0.5
+    assert hist[-1]["n_shards"] == 8
+    assert any("final_test_metric" in r for r in recs)

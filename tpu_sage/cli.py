@@ -58,6 +58,9 @@ def parse_args(argv=None):
     ap.add_argument("--no-eval", action="store_true", help="skip per-epoch validation")
     ap.add_argument("--val-interval", type=int, default=None,
                     help="also validate every N train batches (reference-style)")
+    ap.add_argument("--partitioned", action="store_true",
+                    help="node-sharded multi-chip training over a 'data' mesh "
+                         "of all visible devices (halo-exchange path)")
     ap.add_argument("--unsupervised", action="store_true",
                     help="train with the skip-gram negative-sampling objective "
                          "instead of the supervised head")
@@ -202,7 +205,19 @@ def main(argv=None):
             logf.write(json.dumps(rec) + "\n")
             logf.flush()
 
-    if args.unsupervised:
+    if args.partitioned and args.unsupervised:
+        print("error: --partitioned does not support --unsupervised yet",
+              file=sys.stderr)
+        return 2
+    if args.partitioned:
+        from tpu_sage.dist.train import fit_partitioned
+
+        trainer, state, history = fit_partitioned(
+            problem.store, config, log=log,
+            eval_every_epoch=not args.no_eval,
+            resume_from=args.checkpoint_path,
+        )
+    elif args.unsupervised:
         from tpu_sage.train.unsupervised import UnsupConfig, fit_unsupervised
 
         trainer, state, history = fit_unsupervised(

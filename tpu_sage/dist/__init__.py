@@ -2,7 +2,7 @@ from tpu_sage.dist.halo import (dist_gather, dist_gather_bucketed,
                                 dist_gather_ring)
 from tpu_sage.dist.mesh import data_sharding, make_mesh, replicated
 from tpu_sage.dist.partition import shard_fold, shard_graph
-from tpu_sage.dist.train import PartitionedTrainer
+from tpu_sage.dist.train import PartitionedTrainer, fit_partitioned
 
 __all__ = [
     "dist_gather",
@@ -14,4 +14,5 @@ __all__ = [
     "shard_graph",
     "shard_fold",
     "PartitionedTrainer",
+    "fit_partitioned",
 ]

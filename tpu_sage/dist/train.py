@@ -347,7 +347,6 @@ class PartitionedTrainer:
             self._epoch_fns[n] = self._make_epoch(n)
         return self._epoch_fns[n](state, graph, fold_ids, fold_w)
 
-    # -- evaluation ---------------------------------------------------------
 
     def _make_eval(self, task: str):
         axis = self.axis
@@ -441,3 +440,63 @@ class PartitionedTrainer:
             return float(stats[0] / max(stats[1], 1.0))
         tp, fp, fn = stats
         return float(2 * tp / max(2 * tp + fp + fn, 1e-12))
+
+
+def fit_partitioned(
+    store: GraphStore,
+    config: TrainConfig,
+    mesh: Optional[Mesh] = None,
+    log=None,
+    eval_every_epoch: bool = True,
+    resume_from: Optional[str] = None,
+):
+    """``fit()``-equivalent loop for the node-sharded multi-chip path.
+
+    Same contract as ``tpu_sage.train.trainer.fit``: per-epoch scanned
+    training, JSON metric line per epoch, optional validation (classification
+    tasks) on the full graph, checkpoint resume. ``mesh`` defaults to one
+    ``data`` axis over all visible devices.
+    """
+    import json as _json
+    import os
+    import time
+
+    if log is None:
+        log = lambda d: print(_json.dumps(d), flush=True)
+    if mesh is None:
+        from tpu_sage.dist.mesh import make_mesh
+
+        mesh = make_mesh()
+
+    trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(
+        store, config, mesh
+    )
+    state = trainer.init_state(feat_dim=store.feat_dim)
+    if resume_from and os.path.exists(resume_from):
+        from tpu_sage.train.checkpoint import load_checkpoint
+
+        state = load_checkpoint(resume_from, state)
+        log({"resumed_from": resume_from, "step": int(state.step)})
+
+    can_eval = store.task in ("classification", "multilabel_classification")
+    history = []
+    for epoch in range(config.epochs):
+        t0 = time.time()
+        state, m = trainer.train_epoch(state, graph, fold_ids, fold_w)
+        rec = {
+            "epoch": epoch,
+            "train_loss": float(m["loss"]),
+            "elapsed": round(time.time() - t0, 4),
+            "n_shards": trainer.n_shards,
+        }
+        if eval_every_epoch and can_eval and len(store.folds["val"]):
+            rec["val_metric"] = trainer.evaluate(state, store, fold="val",
+                                                 seed=config.seed + 1)
+        history.append(rec)
+        log(rec)
+    if eval_every_epoch and can_eval and len(store.folds.get("test", [])):
+        log({"final_test_metric": trainer.evaluate(state, store, fold="test",
+                                                   seed=config.seed + 2)})
+    return trainer, state, history
+
+    # -- evaluation ---------------------------------------------------------
