@@ -24,7 +24,10 @@ import numpy as np
 
 
 def parse_args(argv=None):
-    ap = argparse.ArgumentParser(description="tpu_sage trainer")
+    # allow_abbrev=False: --config override detection scans raw argv for exact
+    # flag spellings, so prefix abbreviations (--epoch for --epochs) must not
+    # parse silently (they would win the parse yet lose the override check)
+    ap = argparse.ArgumentParser(description="tpu_sage trainer", allow_abbrev=False)
     ap.add_argument("--config", default=None,
                     help="TrainConfig preset json (see configs/); explicit "
                          "flags override preset values")

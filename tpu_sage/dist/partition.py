@@ -10,8 +10,8 @@ reference real nodes.
 Ownership is then a pure function of the id (``owner = id // m``) — no lookup
 table to replicate, which is what keeps the halo-exchange routing
 (tpu_sage.dist.halo) a couple of integer ops. A degree-aware reordering pass
-(balance edges, not just nodes) can be slotted in front of this without
-changing anything downstream; not implemented yet.
+(balance edges, not just nodes) slots in front of this without changing
+anything downstream: :func:`degree_balanced_permutation` + :func:`reorder_store`.
 """
 
 from __future__ import annotations
@@ -45,11 +45,26 @@ def degree_balanced_permutation(degrees: np.ndarray, n_shards: int) -> np.ndarra
     n = len(degrees)
     m = -(-n // n_shards)
     order = np.argsort(-degrees.astype(np.int64), kind="stable")  # desc degree
-    # snake assignment of ranks to shards
-    shard_of_rank = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        round_idx, pos = divmod(i, n_shards)
-        shard_of_rank[i] = pos if round_idx % 2 == 0 else n_shards - 1 - pos
+    # The range partitioner splits new ids at multiples of m, so block sizes
+    # are FORCED to (m, …, m, n−q·m, 0, …) with q = n//m full shards. A naive
+    # snake over n_shards deals equal counts instead, drifting nodes across
+    # block boundaries when n % n_shards != 0. Capacity-aware snake: while the
+    # partial shard q still has slots (first n%m rounds) snake over q+1
+    # shards, then over the q full shards — every shard ends exactly at its
+    # partitioner-forced capacity, so concatenated blocks line up with the
+    # m-ranges bit-exactly.
+    q, r0 = divmod(n, m)
+
+    def snake(count, width, start_round):
+        i = np.arange(count, dtype=np.int64)
+        rnd, pos = np.divmod(i, width)
+        rnd = rnd + start_round
+        return np.where(rnd % 2 == 0, pos, width - 1 - pos)
+
+    n1 = r0 * (q + 1)
+    shard_of_rank = np.concatenate(
+        [snake(n1, q + 1, 0), snake(n - n1, max(q, 1), r0)]
+    )
     # stable bucket the ranked nodes by shard, preserving rank order
     return np.concatenate([order[shard_of_rank == s] for s in range(n_shards)])
 

@@ -498,5 +498,3 @@ def fit_partitioned(
         log({"final_test_metric": trainer.evaluate(state, store, fold="test",
                                                    seed=config.seed + 2)})
     return trainer, state, history
-
-    # -- evaluation ---------------------------------------------------------

@@ -233,6 +233,14 @@ def fit_unsupervised(
     state = trainer.init_state(graph)
     if walks is None:
         walks = getattr(problem, "walks", None)
+    if walks is not None and walks.shape[0] != problem.n_nodes:
+        # the trainer indexes walks[ids] by GLOBAL node id; a corpus generated
+        # for a subset of starts would yield silently wrong positives
+        raise ValueError(
+            f"walk corpus must cover every node (walks.shape[0]="
+            f"{walks.shape[0]} != n_nodes={problem.n_nodes}); regenerate with "
+            f"starts=arange(n_nodes)"
+        )
     walks_d = None if walks is None else jnp.asarray(walks, jnp.int32)
 
     node_ids = jnp.asarray(train_ids, jnp.int32)
