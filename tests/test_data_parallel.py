@@ -60,7 +60,31 @@ def test_tensor_parallel_sharding_specs(eight_devices):
     for _, s in kernels:
         assert s.spec == P(None, "model")
 
-    # the step runs with TP-sharded params and produces finite loss
+
+def test_tensor_parallel_step_matches_replicated(eight_devices):
+    """TP step == replicated step (the DP test's contract, model_axis=2)."""
+    mesh = make_mesh(axis_names=("data", "model"), shape=(4, 2))
+    problem, trainer, state, graph, ids, tgt = _setup(mesh, model_axis="model")
+
+    ref_trainer = Trainer(trainer.model, trainer.config, 6, task=problem.task)
+    ref_state, ref_m = ref_trainer.train_step(
+        jax.tree_util.tree_map(jnp.copy, state), graph, ids, tgt
+    )
+
     state_s, graph_s, ids_s, tgt_s = trainer.shard_inputs(state, graph, ids, tgt)
+    # optimizer moments really are TP-sharded, not replicated copies
+    mu_kernels = [
+        leaf for path, leaf in jax.tree_util.tree_flatten_with_path(
+            state_s.opt_state)[0]
+        if "kernel" in str(path[-1]) and hasattr(leaf, "sharding")
+    ]
+    assert mu_kernels, "no kernel moments found in opt state"
+    assert any(
+        l.sharding.spec == P(None, "model") for l in mu_kernels
+    ), "adam moments are not TP-sharded"
+
     new_state, m = trainer.train_step(state_s, graph_s, ids_s, tgt_s)
-    assert np.isfinite(float(m["loss"]))
+    np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

@@ -27,7 +27,13 @@ from tpu_sage.train.trainer import TrainConfig, Trainer, TrainState
 
 def param_shardings(params: Any, mesh: Mesh, model_axis: Optional[str]) -> Any:
     """PartitionSpecs for the param tree: 2-D kernels shard their output dim
-    over ``model_axis`` (``P(None, 'model')``); everything else replicated."""
+    over ``model_axis`` (``P(None, 'model')``); everything else replicated.
+
+    The rule is purely path-based (leaf key ``kernel`` + ndim 2), so it applies
+    verbatim to the OPTIMIZER state too: optax's ``mu``/``nu`` moment trees
+    embed the param tree's dict structure, so a kernel's moments get the same
+    ``P(None, model)`` placement as the kernel itself — adam stays fully
+    TP-sharded, no replicated moment copies."""
 
     def spec_for(path, leaf):
         if (
@@ -65,13 +71,10 @@ class DataParallelTrainer(Trainer):
         rep = NamedSharding(self.mesh, P())
         batch = NamedSharding(self.mesh, P(self.data_axis))
         p_sharding = param_shardings(state.params, self.mesh, self.model_axis)
+        o_sharding = param_shardings(state.opt_state, self.mesh, self.model_axis)
         state = TrainState(
             params=jax.device_put(state.params, p_sharding),
-            opt_state=jax.device_put(state.opt_state, rep)
-            if self.model_axis is None
-            else jax.tree_util.tree_map(
-                lambda x: x, state.opt_state
-            ),  # opt state mirrors params lazily via jit output sharding
+            opt_state=jax.device_put(state.opt_state, o_sharding),
             step=jax.device_put(state.step, rep),
             key=jax.device_put(state.key, rep),
         )
