@@ -98,11 +98,44 @@ def test_shard_fold_wrap_and_weights():
     fold = np.array([0, 1, 2, 10, 11, 30])  # shards 0,1,3 of 8 (size 10 ea → use 4 shards)
     ids, w = shard_fold(fold, n_shards=4, shard_size=10)
     assert ids.shape == (4, 3)
-    # weights are fold-count / L so wrapped duplicates don't skew the loss
-    np.testing.assert_allclose(w, [3 / 3, 2 / 3, 0.0, 1 / 3])
+    # weights are the TRUE per-shard fold counts: loss weight after psum
+    # normalization AND the sampling bound (wrapped tail never drawn)
+    np.testing.assert_allclose(w, [3.0, 2.0, 0.0, 1.0])
     assert set(ids[0]) == {0, 1, 2}
     assert set(ids[1]) == {10, 11}  # wrapped
     assert set(ids[3]) == {30}
+
+
+def test_epoch_batch_ids_exact_uniform_and_cycling():
+    """Per-epoch permutation batching: within one epoch each real fold node
+    is drawn the same number of times ±1 (no wrap-tile bias); across epochs
+    the order changes; padding slots are never drawn."""
+    from tpu_sage.dist.train import epoch_batch_ids
+
+    fold_row = jnp.asarray([5, 6, 7, 5, 5], jnp.int64)  # 3 real + wrapped tail
+    count = jnp.float32(3.0)
+    key = jax.random.key(0)
+    my = jnp.int32(0)
+    bps, spe = 2, 4  # 8 draws per epoch over 3 real nodes
+    draws = []
+    for t in range(spe):
+        ids = epoch_batch_ids(key, jnp.int32(t), fold_row, count, bps, spe, my)
+        draws.extend(np.asarray(ids).tolist())
+    assert set(draws) <= {5, 6, 7}
+    counts = {v: draws.count(v) for v in (5, 6, 7)}
+    # 8 draws over a cycled 3-perm: counts within ±1 of each other
+    assert max(counts.values()) - min(counts.values()) <= 1, counts
+    # the first 3 draws of the epoch are a permutation (no replacement)
+    assert len(set(draws[:3])) == 3
+    # a different epoch reshuffles
+    e2 = [
+        int(x)
+        for t in range(spe)
+        for x in np.asarray(
+            epoch_batch_ids(key, jnp.int32(spe + t), fold_row, count, bps, spe, my)
+        )
+    ]
+    assert e2 != draws
 
 
 def test_partitioned_training_converges(mesh):
@@ -304,3 +337,23 @@ def test_fit_partitioned_end_to_end(mesh):
     assert hist[-1]["val_metric"] > 0.5
     assert hist[-1]["n_shards"] == 8
     assert any("final_test_metric" in r for r in recs)
+
+
+def test_partitioned_regression_eval(mesh):
+    """Regression trains AND evaluates on the partitioned path (previously
+    raised); the partitioned -MSE metric tracks the single-device one."""
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=6,
+                      task="regression", seed=41)
+    cfg = TrainConfig(batch_size=64, epochs=6, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32), lr_init=0.01)
+    from tpu_sage.dist.train import fit_partitioned
+
+    _, state, hist = fit_partitioned(store, cfg, mesh=mesh, log=lambda d: None)
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+    # evaluate() no longer raises and returns a finite negated-MSE
+    assert "val_metric" in hist[-1]
+    assert np.isfinite(hist[-1]["val_metric"])
+    assert hist[-1]["val_metric"] <= 0  # -MSE
+    # training actually regressed toward the targets (MSE well under var(y))
+    var = float(np.var(store.targets[store.folds["val"]]))
+    assert -hist[-1]["val_metric"] < var, (hist[-1]["val_metric"], var)

@@ -1,59 +1,30 @@
-"""Fail-stop + resume (SURVEY.md §5.3): a training process crashes mid-run;
-the restarted process resumes from the latest checkpoint and finishes."""
+"""Fail-stop + resume through the PRODUCT path (SURVEY.md §5.3-5.4): a
+CLI-launched training run with ``--checkpoint-every`` is hard-killed mid-run;
+relaunching the identical command resumes from the last periodic checkpoint
+at the right epoch and finishes."""
 
 import json
 import os
+import signal
 import subprocess
 import sys
 
-WORKER = r"""
-import json, os, sys
-import numpy as np
-from tpu_sage.data.synthetic import sbm_problem
-from tpu_sage.train.trainer import TrainConfig, build_model, Trainer
-from tpu_sage.train.checkpoint import save_checkpoint, load_checkpoint
-import jax.numpy as jnp
-
-ckpt = sys.argv[1]
-crash_after = int(sys.argv[2])   # crash after this many epochs (-1 = never)
-total_epochs = int(sys.argv[3])
-
-problem = sbm_problem(n_nodes=300, n_classes=3, feat_dim=16, seed=77)
-cfg = TrainConfig(batch_size=32, epochs=total_epochs, n_train_samples=(5, 3),
-                  n_val_samples=(5, 3), output_dims=(16, 16))
-model = build_model(cfg, problem.n_nodes, problem.n_classes)
-trainer = Trainer(model, cfg, steps_per_epoch=7, task=problem.task)
-graph = problem.device_graph(train=True)
-state = trainer.init_state(graph)
-if os.path.exists(ckpt):
-    state = load_checkpoint(ckpt, state)
-    print(json.dumps({"resumed_step": int(state.step)}), flush=True)
-
-train_ids = problem.folds["train"]
-fold_ids = jnp.asarray(train_ids, jnp.int32)
-fold_tgt = jnp.asarray(problem.store.targets[train_ids])
-spe = len(train_ids) // cfg.batch_size
-start_epoch = int(state.step) // spe
-for epoch in range(start_epoch, total_epochs):
-    state, m = trainer.train_epoch(state, graph, fold_ids, fold_tgt)
-    save_checkpoint(ckpt, state)
-    print(json.dumps({"epoch": epoch, "loss": float(m["loss"]),
-                      "step": int(state.step)}), flush=True)
-    if crash_after >= 0 and epoch + 1 >= crash_after:
-        os._exit(1)  # simulated hard crash: no cleanup, mid-run
-print(json.dumps({"done": True, "final_step": int(state.step)}), flush=True)
-"""
+EPOCHS = 200  # large enough that the kill always lands mid-run
 
 
-def _run(ckpt, crash_after, total, env):
-    return subprocess.run(
-        [sys.executable, "-c", WORKER, ckpt, str(crash_after), str(total)],
-        capture_output=True, text=True, timeout=180, env=env,
-    )
+def _cli_cmd(ckpt):
+    return [
+        sys.executable, "-m", "tpu_sage.cli",
+        "--synthetic", "sbm", "--synthetic-nodes", "300",
+        "--synthetic-classes", "3", "--synthetic-feat-dim", "16",
+        "--n-train-samples", "5,3", "--n-val-samples", "5,3",
+        "--output-dims", "16,16", "--batch-size", "32",
+        "--epochs", str(EPOCHS), "--no-eval",
+        "--checkpoint-path", ckpt, "--checkpoint-every", "1",
+    ]
 
 
-def test_crash_and_resume(tmp_path):
-    ckpt = str(tmp_path / "ck.npz")
+def _env():
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
@@ -61,20 +32,51 @@ def test_crash_and_resume(tmp_path):
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         + os.pathsep + env.get("PYTHONPATH", "")
     )
+    return env
 
-    r1 = _run(ckpt, crash_after=2, total=5, env=env)
-    assert r1.returncode == 1, r1.stdout + r1.stderr  # crashed as scripted
-    lines1 = [json.loads(l) for l in r1.stdout.strip().splitlines()]
-    assert lines1[-1]["epoch"] == 1  # died after epoch 1 (2 epochs ran)
+
+def test_cli_crash_and_resume(tmp_path):
+    ckpt = str(tmp_path / "ck.npz")
+
+    # run 1: kill -9 as soon as two periodic checkpoints have been written
+    p = subprocess.Popen(
+        _cli_cmd(ckpt), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, env=_env(),
+    )
+    seen, ckpts = [], 0
+    try:
+        for line in p.stdout:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            rec = json.loads(line)
+            seen.append(rec)
+            if "checkpoint" in rec:
+                ckpts += 1
+            if ckpts >= 2:
+                p.send_signal(signal.SIGKILL)  # simulated hard crash
+                break
+    finally:
+        p.wait(timeout=120)
+    assert p.returncode != 0  # really was killed, not finished
     assert os.path.exists(ckpt)
+    killed_at_step = max(r["step"] for r in seen if "checkpoint" in r)
+    epochs_run1 = [r["epoch"] for r in seen if "epoch" in r]
+    assert epochs_run1[0] == 0 and len(epochs_run1) < EPOCHS
 
-    r2 = _run(ckpt, crash_after=-1, total=5, env=env)
-    assert r2.returncode == 0, r2.stdout + r2.stderr
-    lines2 = [json.loads(l) for l in r2.stdout.strip().splitlines()]
-    assert lines2[0]["resumed_step"] == lines1[-1]["step"]
-    # resumed run continues from epoch 2, not from scratch
-    first_epoch_rec = next(l for l in lines2 if "epoch" in l)
-    assert first_epoch_rec["epoch"] == 2
-    # loss continues improving from the pre-crash trajectory
-    assert first_epoch_rec["loss"] < lines1[0]["loss"]
-    assert lines2[-1]["done"] is True
+    # run 2: identical command resumes from the checkpoint and completes
+    r2 = subprocess.run(
+        _cli_cmd(ckpt), capture_output=True, text=True, timeout=300, env=_env(),
+    )
+    assert r2.returncode == 0, r2.stdout[-2000:] + r2.stderr[-2000:]
+    recs = [json.loads(l) for l in r2.stdout.splitlines() if l.startswith("{")]
+    resumed = next(r for r in recs if "resumed_from" in r)
+    assert resumed["step"] == killed_at_step
+    assert resumed["start_epoch"] >= 1
+    epoch_recs = [r for r in recs if "epoch" in r]
+    # resumes at the epoch after the checkpoint, not from scratch
+    assert epoch_recs[0]["epoch"] == resumed["start_epoch"]
+    assert epoch_recs[-1]["epoch"] == EPOCHS - 1  # ran to completion
+    # resumed loss continues the pre-crash trajectory (no restart spike)
+    first_loss_run1 = next(r for r in seen if "epoch" in r)["train_loss"]
+    assert epoch_recs[0]["train_loss"] < first_loss_run1 * 1.5

@@ -58,6 +58,9 @@ def parse_args(argv=None):
     ap.add_argument("--combine", default="concat", choices=["concat", "add"])
     ap.add_argument("--checkpoint-path", default=None,
                     help="save params+opt state here at end (and resume if present)")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="also checkpoint to --checkpoint-path every N epochs "
+                         "mid-run (crash loses at most N epochs)")
     ap.add_argument("--no-eval", action="store_true", help="skip per-epoch validation")
     ap.add_argument("--val-interval", type=int, default=None,
                     help="also validate every N train batches (reference-style)")
@@ -219,6 +222,7 @@ def main(argv=None):
             problem.store, config, log=log,
             eval_every_epoch=not args.no_eval,
             resume_from=args.checkpoint_path,
+            checkpoint_every=args.checkpoint_every,
         )
     elif args.unsupervised:
         from tpu_sage.train.unsupervised import UnsupConfig, fit_unsupervised
@@ -246,6 +250,7 @@ def main(argv=None):
             problem, config, eval_every_epoch=not args.no_eval,
             resume_from=args.checkpoint_path, log=log,
             val_interval_batches=args.val_interval,
+            checkpoint_every=args.checkpoint_every,
         )
 
     if args.checkpoint_path:

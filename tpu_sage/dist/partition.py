@@ -151,25 +151,28 @@ def shard_fold(
     """Group fold ids by owner shard into a dense ``(n_shards, L)`` table.
 
     ``L`` is the max per-shard count; shards with fewer fold nodes wrap
-    around (sampling with replacement at the tail — unbiased enough for
-    minibatch SGD, and keeps every shape static). Returns ``(ids, weight)``
-    where ``weight[s] = (#fold nodes on shard s) / L`` scales shard ``s``'s
-    loss so wrapped duplicates don't skew the global mean; empty shards get
-    weight 0 (their rows point at the shard's first node and are masked out).
+    around so every shape stays static. Returns ``(ids, count)`` where
+    ``count[s]`` is the TRUE number of fold nodes on shard ``s`` (float32).
+    The train step uses it twice: as the loss weight (normalized by psum, so
+    each shard contributes proportionally to its fold share) and as the
+    sampling bound (batches draw only from the first ``count[s]`` slots —
+    exact uniform over the shard's real group, never the wrapped tail).
+    Empty shards get count 0 (their rows point at the shard's first node and
+    the weight masks them out).
     """
     owners = fold_ids // shard_size
     groups = [fold_ids[owners == s] for s in range(n_shards)]
     L = max(1, max(len(g) for g in groups))
     out = np.zeros((n_shards, L), dtype=np.int64)
-    weight = np.zeros(n_shards, dtype=np.float32)
+    count = np.zeros(n_shards, dtype=np.float32)
     for s, g in enumerate(groups):
         if len(g) == 0:
             out[s] = s * shard_size
         else:
             reps = -(-L // len(g))
             out[s] = np.tile(g, reps)[:L]
-            weight[s] = len(g) / L
-    return out, weight
+            count[s] = len(g)
+    return out, count
 
 
 def shard_fold_masked(

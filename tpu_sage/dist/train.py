@@ -5,7 +5,11 @@ graphs). Each shard of the ``data`` mesh axis owns a contiguous node range
 (adjacency rows, degrees, features, targets) plus the slice of every batch
 drawn from its range. One train step, per shard:
 
-1. draw ``batch_per_shard`` root ids from the shard's local fold table;
+1. draw ``batch_per_shard`` root ids from the shard's local fold table by
+   per-epoch permutation cycling (same distribution family as the
+   single-device epoch shuffle: within an epoch each shard walks a fresh
+   random permutation of its own fold group without replacement, wrapping
+   only if the epoch asks for more draws than the shard owns);
 2. level by level, ``dist_gather`` the (adjacency row ‖ degree) of the
    frontier — rows of remote nodes arrive over ICI — and sample ``fanout``
    columns on device;
@@ -67,6 +71,38 @@ def make_gather(mode: str, n_shards: int, capacity_factor: float):
         return rows
 
     return bucketed
+
+
+def epoch_batch_ids(
+    key: jax.Array,
+    step: jnp.ndarray,        # () int32 global step counter
+    fold_row: jnp.ndarray,    # (L,) this shard's fold-id slots
+    count: jnp.ndarray,       # () true number of real fold nodes in the row
+    bps: int,
+    steps_per_epoch: int,
+    my: jnp.ndarray,          # () shard index
+) -> jnp.ndarray:
+    """Per-shard per-epoch permutation batching (single-device semantics).
+
+    Epoch ``e = step // steps_per_epoch`` fixes one random permutation of the
+    shard's first ``count`` (real) fold slots; step ``t`` within the epoch
+    takes slots ``[t·bps, t·bps+bps) mod count`` of that permutation. Draws
+    are without replacement until the shard's group is exhausted, exactly
+    uniform over the true group (the wrap-tiled tail is never sampled), and
+    deterministic given (key, step) — so crash-resume replays the same
+    batches. Matches the reference's shuffled-epoch distribution instead of
+    the with-replacement ``randint`` this replaces.
+    """
+    L = fold_row.shape[0]
+    n = jnp.maximum(count.astype(jnp.int32), 1)
+    epoch = step // steps_per_epoch
+    t = step % steps_per_epoch
+    kp = jax.random.fold_in(jax.random.fold_in(key, 77_003 + epoch), my)
+    r = jax.random.uniform(kp, (L,))
+    r = jnp.where(jnp.arange(L) < count, r, jnp.inf)
+    perm = jnp.argsort(r)  # first `count` entries: random perm of real slots
+    slot = (t * bps + jnp.arange(bps)) % n
+    return fold_row[perm[slot]]
 
 
 def sample_level_distributed(
@@ -187,19 +223,19 @@ class PartitionedTrainer:
         model, tx, loss_fn = self.model, self.tx, self.loss_fn
         bps = self.batch_per_shard
         gather = self.gather
+        spe = self.steps_per_epoch
 
         def shard_step(params, opt_state, step, key, adj, deg, feats, targets,
                        fold_ids, fold_w):
             # locals: adj (m, D), deg (m,), feats (m, F), targets (m, ...),
-            # fold_ids (1, L), fold_w (1,)
+            # fold_ids (1, L), fold_w (1,) — fold_w is the true group count
             my = lax.axis_index(axis)
             m = adj.shape[0]
             offset = my * m
             k = jax.random.fold_in(jax.random.fold_in(key, step), my)
-            k_batch, k_sample = jax.random.split(k)
+            _, k_sample = jax.random.split(k)
 
-            idx = jax.random.randint(k_batch, (bps,), 0, fold_ids.shape[1])
-            ids = fold_ids[0, idx]                       # (bps,) global, local-owned
+            ids = epoch_batch_ids(key, step, fold_ids[0], fold_w[0], bps, spe, my)
             tgt = targets[ids - offset]
             w = fold_w[0]
 
@@ -269,6 +305,7 @@ class PartitionedTrainer:
         model, tx, loss_fn = self.model, self.tx, self.loss_fn
         bps = self.batch_per_shard
         gather = self.gather
+        spe = self.steps_per_epoch
 
         def shard_epoch(params, opt_state, step0, key, adj, deg, feats, targets,
                         fold_ids, fold_w):
@@ -281,9 +318,9 @@ class PartitionedTrainer:
             def body(carry, _):
                 params, opt_state, step = carry
                 k = jax.random.fold_in(jax.random.fold_in(key, step), my)
-                k_batch, k_sample = jax.random.split(k)
-                idx = jax.random.randint(k_batch, (bps,), 0, fold_ids.shape[1])
-                ids = fold_ids[0, idx]
+                _, k_sample = jax.random.split(k)
+                ids = epoch_batch_ids(key, step, fold_ids[0], fold_w[0],
+                                      bps, spe, my)
                 tgt = targets[ids - offset]
 
                 def fwd(p):
@@ -384,12 +421,20 @@ class PartitionedTrainer:
                         (jnp.argmax(logits, -1) == tgt.astype(jnp.int32)) * cmask
                     )
                     return k, jnp.array([correct, cmask.sum(), 0.0])
-                preds = (logits > 0).astype(jnp.float32) * cmask[:, None]
-                t = tgt.astype(jnp.float32) * cmask[:, None]
-                tp = jnp.sum(preds * t)
-                fp = jnp.sum(preds * (1 - t) * cmask[:, None])
-                fn = jnp.sum((1 - preds) * t * cmask[:, None])
-                return k, jnp.array([tp, fp, fn])
+                if task == "multilabel_classification":
+                    preds = (logits > 0).astype(jnp.float32) * cmask[:, None]
+                    t = tgt.astype(jnp.float32) * cmask[:, None]
+                    tp = jnp.sum(preds * t)
+                    fp = jnp.sum(preds * (1 - t) * cmask[:, None])
+                    fn = jnp.sum((1 - preds) * t * cmask[:, None])
+                    return k, jnp.array([tp, fp, fn])
+                # regression / regression_mae: masked error sums + count
+                # (mirrors Trainer.eval_fold's se/ae/cnt stats vector)
+                err = logits - tgt.astype(logits.dtype)
+                se = jnp.sum(jnp.square(err) * cmask[:, None])
+                ae = jnp.sum(jnp.abs(err) * cmask[:, None])
+                cnt = cmask.sum() * logits.shape[-1]
+                return k, jnp.array([se, ae, cnt])
 
             _, stats = jax.lax.scan(chunk_stats, key, (ids[0], mask[0]))
             return lax.psum(stats.sum(axis=0), axis)
@@ -407,14 +452,11 @@ class PartitionedTrainer:
     def evaluate(self, state, store: GraphStore, fold: str = "val",
                  seed: int = 0) -> float:
         """Full-fold metric on the node-sharded FULL graph (inductive
-        protocol, SURVEY.md §3.5), exact counts via masked padding."""
+        protocol, SURVEY.md §3.5), exact counts via masked padding. Supports
+        all four tasks; regression metrics are negated (higher = better),
+        matching ``Trainer.eval_fold``."""
         from tpu_sage.dist.partition import shard_fold_masked
 
-        if store.task not in ("classification", "multilabel_classification"):
-            raise ValueError(
-                f"partitioned evaluation supports classification tasks only; "
-                f"got {store.task!r} (use the single-device Trainer.evaluate)"
-            )
         if self._eval_graph is None:
             self._eval_graph = shard_graph(store, self.mesh, train=False,
                                            axis=self.axis)
@@ -438,8 +480,13 @@ class PartitionedTrainer:
         )
         if store.task == "classification":
             return float(stats[0] / max(stats[1], 1.0))
-        tp, fp, fn = stats
-        return float(2 * tp / max(2 * tp + fp + fn, 1e-12))
+        if store.task == "multilabel_classification":
+            tp, fp, fn = stats
+            return float(2 * tp / max(2 * tp + fp + fn, 1e-12))
+        se, ae, cnt = stats
+        if store.task == "regression":
+            return float(-se / max(cnt, 1.0))
+        return float(-ae / max(cnt, 1.0))
 
 
 def fit_partitioned(
@@ -449,13 +496,18 @@ def fit_partitioned(
     log=None,
     eval_every_epoch: bool = True,
     resume_from: Optional[str] = None,
+    checkpoint_every: int = 0,
 ):
     """``fit()``-equivalent loop for the node-sharded multi-chip path.
 
     Same contract as ``tpu_sage.train.trainer.fit``: per-epoch scanned
-    training, JSON metric line per epoch, optional validation (classification
-    tasks) on the full graph, checkpoint resume. ``mesh`` defaults to one
-    ``data`` axis over all visible devices.
+    training, JSON metric line per epoch, optional validation on the full
+    graph (all four tasks), checkpoint resume. ``mesh`` defaults to one
+    ``data`` axis over all visible devices. ``checkpoint_every`` > 0 writes
+    ``resume_from`` every N epochs mid-run (SURVEY.md §5.4 "every N steps and
+    at end"; the product step unit is the scanned epoch), and resume restarts
+    at the epoch after the checkpointed step — a killed run loses at most N
+    epochs.
     """
     import json as _json
     import os
@@ -472,15 +524,17 @@ def fit_partitioned(
         store, config, mesh
     )
     state = trainer.init_state(feat_dim=store.feat_dim)
+    start_epoch = 0
     if resume_from and os.path.exists(resume_from):
         from tpu_sage.train.checkpoint import load_checkpoint
 
         state = load_checkpoint(resume_from, state)
-        log({"resumed_from": resume_from, "step": int(state.step)})
+        start_epoch = int(state.step) // trainer.steps_per_epoch
+        log({"resumed_from": resume_from, "step": int(state.step),
+             "start_epoch": start_epoch})
 
-    can_eval = store.task in ("classification", "multilabel_classification")
     history = []
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         state, m = trainer.train_epoch(state, graph, fold_ids, fold_w)
         rec = {
@@ -489,12 +543,20 @@ def fit_partitioned(
             "elapsed": round(time.time() - t0, 4),
             "n_shards": trainer.n_shards,
         }
-        if eval_every_epoch and can_eval and len(store.folds["val"]):
+        if eval_every_epoch and len(store.folds["val"]):
             rec["val_metric"] = trainer.evaluate(state, store, fold="val",
                                                  seed=config.seed + 1)
         history.append(rec)
         log(rec)
-    if eval_every_epoch and can_eval and len(store.folds.get("test", [])):
+        if (
+            checkpoint_every > 0 and resume_from
+            and (epoch + 1) % checkpoint_every == 0
+        ):
+            from tpu_sage.train.checkpoint import save_checkpoint
+
+            save_checkpoint(resume_from, state)
+            log({"checkpoint": resume_from, "step": int(state.step)})
+    if eval_every_epoch and len(store.folds.get("test", [])):
         log({"final_test_metric": trainer.evaluate(state, store, fold="test",
                                                    seed=config.seed + 2)})
     return trainer, state, history

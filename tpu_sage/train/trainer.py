@@ -369,14 +369,18 @@ def fit(
     eval_every_epoch: bool = True,
     resume_from: Optional[str] = None,
     val_interval_batches: Optional[int] = None,
+    checkpoint_every: int = 0,
 ) -> Tuple[Trainer, TrainState, list]:
     """End-to-end training on a NodeProblem (reference ``train.py`` contract):
     per-epoch train over the train fold with per-batch LR, validation on the
     full graph with val fanouts, JSON metric line per epoch.
 
     ``resume_from``: checkpoint path; if the file exists, training state
-    (params, optimizer, step, PRNG key) restarts from it (SURVEY.md §5.3-5.4).
-    """
+    (params, optimizer, step, PRNG key) restarts from it at the epoch after
+    the checkpointed step (SURVEY.md §5.3-5.4). ``checkpoint_every`` > 0
+    additionally writes ``resume_from`` every N epochs mid-run, so a killed
+    run loses at most N epochs (SURVEY.md §5.4 "every N steps and at end";
+    the product step unit is the scanned epoch)."""
     import os
 
     if log is None:
@@ -395,11 +399,14 @@ def fit(
     graph_train = problem.device_graph(train=True)
     graph_full = problem.device_graph(train=False)
     state = trainer.init_state(graph_train)
+    start_epoch = 0
     if resume_from and os.path.exists(resume_from):
         from tpu_sage.train.checkpoint import load_checkpoint
 
         state = load_checkpoint(resume_from, state)
-        log({"resumed_from": resume_from, "step": int(state.step)})
+        start_epoch = int(state.step) // steps_per_epoch
+        log({"resumed_from": resume_from, "step": int(state.step),
+             "start_epoch": start_epoch})
 
     fold_ids = jnp.asarray(train_ids, jnp.int32)
     fold_targets = jnp.asarray(problem.store.targets[train_ids])
@@ -416,7 +423,7 @@ def fit(
         return rec
 
     history = []
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         if val_interval_batches:
             # reference's "eval every N batches" mode (SURVEY.md §3.1): run
@@ -452,6 +459,14 @@ def fit(
             rec = validate(rec)
         history.append(rec)
         log(rec)
+        if (
+            checkpoint_every > 0 and resume_from
+            and (epoch + 1) % checkpoint_every == 0
+        ):
+            from tpu_sage.train.checkpoint import save_checkpoint
+
+            save_checkpoint(resume_from, state)
+            log({"checkpoint": resume_from, "step": int(state.step)})
 
     test_ids = problem.folds.get("test", np.array([], dtype=np.int64))
     if eval_every_epoch and len(test_ids):
