@@ -212,10 +212,31 @@ def main(argv=None):
             logf.flush()
 
     if args.partitioned and args.unsupervised:
-        print("error: --partitioned does not support --unsupervised yet",
-              file=sys.stderr)
-        return 2
-    if args.partitioned:
+        from tpu_sage.dist.unsupervised import fit_unsupervised_partitioned
+        from tpu_sage.train.unsupervised import UnsupConfig
+
+        trainer, state, history = fit_unsupervised_partitioned(
+            problem.store, config,
+            UnsupConfig(walk_length=args.walk_length,
+                        n_negatives=args.n_negatives),
+            log=log,
+            resume_from=args.checkpoint_path,
+            checkpoint_every=args.checkpoint_every,
+        )
+        if not args.no_eval and problem.task == "classification":
+            # paper protocol: logistic probe on partitioned-path embeddings
+            from sklearn.linear_model import LogisticRegression
+
+            tr, va = problem.folds["train"], problem.folds["val"]
+            if len(tr) and len(va):
+                z_tr = trainer.embed_fold(state, problem.store, tr)
+                z_va = trainer.embed_fold(state, problem.store, va)
+                y = problem.store.targets
+                probe = LogisticRegression(max_iter=200).fit(z_tr, y[tr])
+                print(json.dumps(
+                    {"probe_val_accuracy": float(probe.score(z_va, y[va]))}
+                ), flush=True)
+    elif args.partitioned:
         from tpu_sage.dist.train import fit_partitioned
 
         trainer, state, history = fit_partitioned(
