@@ -79,31 +79,39 @@ def main():
     state, m = trainer.train_epoch(state, graph, fold_ids, fold_targets)
     float(m["loss"])
 
-    timed_epochs = int(os.environ.get("BENCH_EPOCHS", 2))
-    dt = 0.0
-    for _ in range(timed_epochs):
+    # Median-of-k with spread: the axon tunnel adds large run-to-run variance
+    # at some batch sizes (60.6M vs ~31M observed for identical programs —
+    # STATUS.md), so a single timing is not trustworthy. Each repeat times one
+    # full scanned epoch, hard-synced; the headline is the MEDIAN.
+    repeats = int(os.environ.get("BENCH_REPEATS", 5))
+    f1, f2 = fanouts
+    edges_per_step = batch_size * (f1 + f1 * f2)
+    per_repeat = []
+    for _ in range(repeats):
         t0 = time.perf_counter()
         state, m = trainer.train_epoch(state, graph, fold_ids, fold_targets)
         float(m["loss"])  # hard sync per epoch; ~µs vs the 2.5 s epoch
-        dt += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        per_repeat.append(steps_per_epoch * edges_per_step / dt)
 
-    f1, f2 = fanouts
-    edges_per_step = batch_size * (f1 + f1 * f2)
-    total_steps = timed_epochs * steps_per_epoch
-    edges_per_sec = total_steps * edges_per_step / dt
+    med = float(np.median(per_repeat))
+    q1, q3 = np.percentile(per_repeat, [25, 75])
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
     vs = None
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            vs = edges_per_sec / json.load(f)["torch_edges_per_sec"]
+            vs = med / json.load(f)["torch_edges_per_sec"]
 
     print(json.dumps({
         "metric": f"reddit_shaped_graphsage_{aggregator}_edges_per_sec_per_chip",
-        "value": round(edges_per_sec, 1),
+        "value": round(med, 1),
         "unit": "edges/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "repeats": [round(x, 1) for x in per_repeat],
+        "iqr": [round(float(q1), 1), round(float(q3), 1)],
+        "ms_per_step": round(1000.0 * edges_per_step / med, 3),
     }))
     return 0
 

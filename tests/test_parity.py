@@ -120,3 +120,23 @@ def test_fused_first_layer_matches_standard():
     a = np.asarray(m_std.apply(params, levels, feats))
     b = np.asarray(m_fused.apply(params, levels, feats))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    # GRADIENT parity: the custom-VJP (scatter-free dW) backward must match
+    # autodiff through the standard path — this is what makes the fusion
+    # usable for training (VERDICT round-1 #2)
+    def loss_fn(model):
+        def f(p):
+            return jnp.sum(jnp.square(model.apply(p, levels, feats)))
+        return f
+
+    g_std = jax.grad(loss_fn(m_std))(params)
+    g_fused = jax.grad(loss_fn(m_fused))(params)
+    for (ka, ga), (kb, gb) in zip(
+        jax.tree_util.tree_flatten_with_path(g_std)[0],
+        jax.tree_util.tree_flatten_with_path(g_fused)[0],
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-5,
+            err_msg=str(ka),
+        )

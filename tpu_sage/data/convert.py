@@ -187,6 +187,144 @@ def from_wl_json(inpath: str, prefix: Optional[str] = None, max_degree: int = 12
     )
 
 
+def from_planetoid(inpath: str, name: str, max_degree: int = 128,
+                   seed: int = 0) -> GraphStore:
+    """Planetoid raw pickles (Cora/Citeseer/Pubmed) → GraphStore.
+
+    Drop-in ingester for the standard ``ind.{name}.{x,tx,allx,y,ty,ally,
+    graph,test.index}`` layout (Kipf's GCN repo / torch_geometric raw dir) so
+    real Planetoid data works the moment it lands on disk (SURVEY.md §7.1
+    ``data/`` converters; [B] config 1 Cora). Follows the canonical loading
+    protocol: features = vstack(allx, tx) with the test block re-ordered by
+    ``test.index``; train fold = the first ``len(y)`` nodes, val = the next
+    500, test = the test.index range (Citeseer's isolated test nodes are
+    zero-patched, as in the reference implementations).
+    """
+    import pickle
+
+    from scipy import sparse as sp
+
+    def load(suffix):
+        with open(os.path.join(inpath, f"ind.{name}.{suffix}"), "rb") as f:
+            return pickle.load(f, encoding="latin1")
+
+    x, tx, allx = load("x"), load("tx"), load("allx")
+    y, ty, ally = load("y"), load("ty"), load("ally")
+    graph = load("graph")
+    with open(os.path.join(inpath, f"ind.{name}.test.index")) as f:
+        test_idx = np.array([int(l.strip()) for l in f if l.strip()], np.int64)
+    test_range = np.sort(test_idx)
+
+    n_test_span = int(test_range[-1]) - int(test_range[0]) + 1
+    if n_test_span > tx.shape[0]:
+        # citeseer: isolated test nodes absent from tx — zero-patch the span
+        tx_ext = sp.lil_matrix((n_test_span, x.shape[1]), dtype=np.float32)
+        tx_ext[test_range - test_range[0]] = tx
+        tx = tx_ext.tocsr()
+        ty_ext = np.zeros((n_test_span, y.shape[1]), dtype=ty.dtype)
+        ty_ext[test_range - test_range[0]] = ty
+        ty = ty_ext
+
+    feats = sp.vstack([allx, tx]).toarray().astype(np.float32)
+    labels = np.vstack([ally, ty])
+    # undo the shuffled test-block ordering
+    feats[test_idx] = feats[test_range]
+    labels[test_idx] = labels[test_range]
+    n_nodes = feats.shape[0]
+
+    targets = np.argmax(labels, axis=1).astype(np.int64)
+    # the canonical 500-node val window after the train block, clipped to the
+    # graph and disjoint from the test range (always true on real Planetoid;
+    # matters for toy fixtures)
+    val = np.arange(len(y), min(len(y) + 500, n_nodes), dtype=np.int64)
+    val = val[~np.isin(val, test_range)]
+    folds = {
+        "train": np.arange(len(y), dtype=np.int64),
+        "val": val,
+        "test": test_range,
+    }
+    edges = np.array(
+        [[u, v] for u, nbrs in graph.items() for v in nbrs if u != v],
+        dtype=np.int64,
+    ).reshape(-1, 2)
+    edges = edges[(edges[:, 0] < n_nodes) & (edges[:, 1] < n_nodes)]
+    return from_edgelist(
+        edges, feats, targets, folds, task="classification",
+        n_classes=labels.shape[1], max_degree=max_degree, seed=seed,
+    )
+
+
+def from_ogb_npz(path: str, max_degree: int = 128, seed: int = 0,
+                 task: str = "classification") -> GraphStore:
+    """Single-file OGB-style npz → GraphStore.
+
+    Keys: ``edges (E,2)``, ``feats (n,F)``, ``labels (n,) or (n,C)``,
+    ``train_idx``, ``val_idx``, ``test_idx``. The pragmatic drop-in format
+    for OGBN-scale data (SURVEY.md §2.4 #7 ogbn-products): one
+    ``np.savez(path, edges=…, feats=…, …)`` away from any loader.
+    """
+    z = np.load(path)
+    labels = z["labels"]
+    targets = (
+        labels.reshape(-1).astype(np.int64)
+        if labels.ndim == 1 or labels.shape[1] == 1
+        else labels.astype(np.float32)
+    )
+    if task == "classification" and targets.ndim == 2:
+        task = "multilabel_classification"
+    folds = {
+        "train": z["train_idx"].astype(np.int64),
+        "val": z["val_idx"].astype(np.int64),
+        "test": z["test_idx"].astype(np.int64),
+    }
+    return from_edgelist(
+        z["edges"].astype(np.int64), z["feats"].astype(np.float32), targets,
+        folds, task=task, max_degree=max_degree, seed=seed,
+    )
+
+
+def from_ogb(root: str, name: str, max_degree: int = 128,
+             seed: int = 0) -> GraphStore:
+    """OGB node-property raw csv.gz layout → GraphStore (no ogb package).
+
+    Reads ``<root>/<name>/raw/{edge,node-feat,node-label,num-node-list}.csv.gz``
+    and ``<root>/<name>/split/*/{train,valid,test}.csv.gz`` — the on-disk
+    layout ``ogb.nodeproppred`` produces, parsed with numpy only so the
+    (uninstallable offline) ogb package is not required.
+    """
+    import glob
+    import gzip
+
+    base = os.path.join(root, name)
+
+    def read_csv_gz(path, dtype):
+        with gzip.open(path, "rt") as f:
+            return np.loadtxt(f, delimiter=",", dtype=dtype, ndmin=2)
+
+    raw = os.path.join(base, "raw")
+    edges = read_csv_gz(os.path.join(raw, "edge.csv.gz"), np.int64)
+    feats = read_csv_gz(os.path.join(raw, "node-feat.csv.gz"), np.float32)
+    labels = read_csv_gz(os.path.join(raw, "node-label.csv.gz"), np.float32)
+    split_dirs = sorted(glob.glob(os.path.join(base, "split", "*")))
+    if not split_dirs:
+        raise FileNotFoundError(f"no split directory under {base}/split")
+    split = split_dirs[0]
+    folds = {
+        k: read_csv_gz(os.path.join(split, f"{f}.csv.gz"), np.int64).reshape(-1)
+        for k, f in (("train", "train"), ("val", "valid"), ("test", "test"))
+    }
+    targets = (
+        labels.reshape(-1).astype(np.int64)
+        if labels.shape[1] == 1
+        else labels.astype(np.float32)
+    )
+    task = "classification" if targets.ndim == 1 else "multilabel_classification"
+    return from_edgelist(
+        edges, feats, targets, folds, task=task, max_degree=max_degree,
+        seed=seed,
+    )
+
+
 def main(argv=None):  # pragma: no cover - thin CLI
     """``python -m tpu_sage.data.convert --inpath DIR --outpath problem.h5``"""
     import argparse
@@ -194,6 +332,11 @@ def main(argv=None):  # pragma: no cover - thin CLI
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--inpath", required=True)
     ap.add_argument("--outpath", required=True)
+    ap.add_argument("--format", default="wl-json",
+                    choices=["wl-json", "planetoid", "ogb", "ogb-npz"])
+    ap.add_argument("--name", default=None,
+                    help="dataset name for planetoid/ogb (e.g. cora, "
+                         "ogbn-products)")
     ap.add_argument("--prefix", default=None)
     ap.add_argument("--max-degree", type=int, default=128)
     ap.add_argument("--task", default=None)
@@ -202,10 +345,20 @@ def main(argv=None):  # pragma: no cover - thin CLI
                     help="also store a random-walk corpus (train adjacency)")
     ap.add_argument("--walk-length", type=int, default=5)
     args = ap.parse_args(argv)
-    store = from_wl_json(
-        args.inpath, args.prefix, max_degree=args.max_degree, task=args.task,
-        seed=args.seed,
-    )
+    if args.format == "planetoid":
+        store = from_planetoid(args.inpath, args.name or "cora",
+                               max_degree=args.max_degree, seed=args.seed)
+    elif args.format == "ogb":
+        store = from_ogb(args.inpath, args.name or "ogbn-products",
+                         max_degree=args.max_degree, seed=args.seed)
+    elif args.format == "ogb-npz":
+        store = from_ogb_npz(args.inpath, max_degree=args.max_degree,
+                             seed=args.seed)
+    else:
+        store = from_wl_json(
+            args.inpath, args.prefix, max_degree=args.max_degree,
+            task=args.task, seed=args.seed,
+        )
     walks = None
     if args.n_walks > 0:
         walks = generate_walks(

@@ -127,15 +127,30 @@ class GSSupervised(nn.Module):
         return self.encode_gathered(levels, gathered)
 
     def _encode_fused(self, levels: List[jnp.ndarray], feats: jnp.ndarray) -> jnp.ndarray:
-        """First aggregation pass via whole-table projection (see class doc)."""
+        """First aggregation pass via whole-table projection (see class doc).
+
+        The projections run through :func:`tpu_sage.nn.fused.project_gather`,
+        whose custom VJP computes ``dW`` from the gathered raw rows instead of
+        autodiff's table-sized scatter — this is what makes the fusion viable
+        for TRAINING, not just inference. The identity-matrix probe below
+        extracts each branch's kernel through the Dense itself (bias-free by
+        construction for the mean aggregator), so gradients flow to the
+        ordinary ``fc_self``/``fc_neigh`` params and the param tree is
+        unchanged."""
+        from tpu_sage.nn.fused import project_gather
+
         agg0 = self.agg_layers[0]
-        ps, pn = agg0.project_table(feats)           # (n_nodes, d0) each
+        eye = jnp.eye(feats.shape[1], dtype=feats.dtype)
+        w_self = agg0.fc_self(eye)    # == kernel (no bias), autodiff-transparent
+        w_neigh = agg0.fc_neigh(eye)
+        n_levels = len(levels) - 1
+        self_rows = project_gather(feats, w_self, [levels[d] for d in range(n_levels)])
+        neigh_rows = project_gather(feats, w_neigh, [levels[d + 1] for d in range(n_levels)])
         h = []
-        for d in range(len(levels) - 1):
+        for d in range(n_levels):
             n_self = levels[d].shape[0]
-            h_self = ps[levels[d]]
-            neigh = pn[levels[d + 1]].reshape(n_self, -1, pn.shape[-1])
-            h.append(agg0.combine_projected(h_self, neigh))
+            neigh = neigh_rows[d].reshape(n_self, -1, neigh_rows[d].shape[-1])
+            h.append(agg0.combine_projected(self_rows[d], neigh))
         for agg in self.agg_layers[1:]:
             h = [
                 agg(h[d], h[d + 1].reshape(h[d].shape[0], -1, h[d + 1].shape[-1]))
