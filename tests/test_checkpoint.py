@@ -51,11 +51,18 @@ def test_resume_continues_progress(tmp_path):
 
     _, state1, hist1 = fit(problem, cfg, log=lambda d: None, eval_every_epoch=False)
     save_checkpoint(path, state1)
+    # identical command resumes at the epoch AFTER the checkpoint: with the
+    # same epochs=2 nothing is left to run (exact-resume semantics)
     _, state2, hist2 = fit(problem, cfg, log=lambda d: None,
                            eval_every_epoch=False, resume_from=path)
-    # resumed run starts from the saved step and keeps improving
-    assert int(state2.step) == 2 * int(state1.step)
-    assert hist2[0]["train_loss"] < hist1[0]["train_loss"]
+    assert int(state2.step) == int(state1.step)
+    assert hist2 == []
+    # a longer run continues from epoch 2 and keeps improving
+    _, state3, hist3 = fit(problem, cfg.replace(epochs=4), log=lambda d: None,
+                           eval_every_epoch=False, resume_from=path)
+    assert int(state3.step) == 2 * int(state1.step)
+    assert hist3[0]["epoch"] == 2
+    assert hist3[0]["train_loss"] < hist1[0]["train_loss"]
 
 
 def test_checkpoint_shape_mismatch_raises(tmp_path):

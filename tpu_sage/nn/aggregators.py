@@ -20,6 +20,7 @@ on-chip; replaces the reference's cuDNN LSTM — SURVEY.md §2.2).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Optional
 
 import jax.numpy as jnp
@@ -137,13 +138,43 @@ class MeanPoolAggregator(PoolAggregator):
     pool: str = "mean"
 
 
+class _LSTMRecurrent(nn.Module):
+    """Recurrent half of the hoisted LSTM: consumes precomputed input-gate
+    activations per step, applies only the (H, H) recurrent projections.
+    Gate wiring identical to ``flax.linen.LSTMCell`` (input side biasless,
+    recurrent side biased, orthogonal recurrent init; i,f,g,o order)."""
+
+    hidden_dim: int
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        c, h = carry
+        xi, xf, xg, xo = xs
+        dense_h = partial(
+            nn.Dense, self.hidden_dim, use_bias=True, dtype=self.dtype,
+            kernel_init=nn.initializers.orthogonal(),
+        )
+        i = nn.sigmoid(xi + dense_h(name="hi")(h))
+        f = nn.sigmoid(xf + dense_h(name="hf")(h))
+        g = jnp.tanh(xg + dense_h(name="hg")(h))
+        o = nn.sigmoid(xo + dense_h(name="ho")(h))
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (c, h), None
+
+
 class LSTMAggregator(nn.Module):
     """LSTM over the sampled-neighbor sequence; final hidden state summarizes.
 
     The neighbor order is already random (sampling is i.i.d.), matching the
     paper's "LSTM over a random permutation" trick. Parity tests must fix
-    neighbor order (SURVEY.md §7.3 #5). ``lax.scan`` under the hood — on-chip,
-    no cuDNN analog needed.
+    neighbor order (SURVEY.md §7.3 #5). Replaces the reference's cuDNN LSTM
+    (SURVEY.md §2.2) the way cuDNN itself does it: the input projections of
+    all four gates are HOISTED out of the recurrence — one large
+    ``(B·F, D)×(D, H)`` MXU matmul per gate over the whole sequence — and the
+    ``lax.scan`` carries only the (H, H) recurrent half. At fanout 25/602-dim
+    features this removes 25 small serial matmuls from the critical path.
     """
 
     output_dim: int
@@ -155,9 +186,31 @@ class LSTMAggregator(nn.Module):
 
     @nn.compact
     def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
-        rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden_dim, dtype=self.dtype), name="lstm")
-        hs = rnn(x_neigh)               # (B, F, H)
-        summary = hs[:, -1, :]          # final hidden state
+        b, fan, _ = x_neigh.shape
+        hid = self.hidden_dim
+
+        class _Hoisted(nn.Module):
+            dtype: Dtype = None
+
+            @nn.compact
+            def __call__(self, seq):
+                dense_x = partial(nn.Dense, hid, use_bias=False, dtype=self.dtype)
+                # hoisted input projections: (B, F, H) each, one matmul apiece
+                gates = tuple(
+                    jnp.swapaxes(dense_x(name=n)(seq), 0, 1)  # (F, B, H)
+                    for n in ("ii", "if", "ig", "io")
+                )
+                cell = nn.scan(
+                    _LSTMRecurrent,
+                    variable_broadcast="params",
+                    split_rngs={"params": False},
+                    in_axes=0, out_axes=0,
+                )(hid, dtype=self.dtype, name="cell")
+                h0 = jnp.zeros((seq.shape[0], hid), seq.dtype)
+                (_, h), _ = cell((h0, h0), gates)
+                return h
+
+        summary = _Hoisted(dtype=self.dtype, name="lstm")(x_neigh)
         return _combine(self, x_self, summary, self.output_dim, self.combine,
                         self.activation, self.use_bias, self.dtype)
 
