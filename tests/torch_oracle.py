@@ -45,22 +45,22 @@ def pool_agg(p, x_self, x_neigh, pool, combine="concat", activation="relu"):
 
 
 def lstm_agg(p, x_self, x_neigh, combine="concat", activation="relu"):
-    """Manual LSTM matching the hoisted-LSTM gate wiring (identical math to
-    flax LSTMCell): input projections ii/if/ig/io (no bias) at the module
-    top, recurrent projections hi/hf/hg/ho (bias) in the scanned cell;
-    i,f,g,o gates."""
+    """Manual LSTM matching the hoisted fused-gate wiring (identical math to
+    flax OptimizedLSTMCell): one (D, 4H) input projection ``lstm/xz`` (no
+    bias), one (H, 4H) recurrent projection ``lstm/cell/hz`` (bias);
+    gate order i, f, g, o."""
     lstm = p["lstm"]
     cell = lstm["cell"]
     B, F, D = x_neigh.shape
-    H = cell["hi"]["kernel"].shape[0]
+    H = cell["hz"]["kernel"].shape[0]
     h = torch.zeros(B, H)
     c = torch.zeros(B, H)
     for step in range(F):
         x = x_neigh[:, step, :]
-        i = torch.sigmoid(x @ _t(lstm["ii"]["kernel"]) + h @ _t(cell["hi"]["kernel"]) + _t(cell["hi"]["bias"]))
-        f = torch.sigmoid(x @ _t(lstm["if"]["kernel"]) + h @ _t(cell["hf"]["kernel"]) + _t(cell["hf"]["bias"]))
-        g = torch.tanh(x @ _t(lstm["ig"]["kernel"]) + h @ _t(cell["hg"]["kernel"]) + _t(cell["hg"]["bias"]))
-        o = torch.sigmoid(x @ _t(lstm["io"]["kernel"]) + h @ _t(cell["ho"]["kernel"]) + _t(cell["ho"]["bias"]))
+        z = x @ _t(lstm["xz"]["kernel"]) + h @ _t(cell["hz"]["kernel"]) + _t(cell["hz"]["bias"])
+        i, f, g, o = torch.split(z, H, dim=-1)
+        i, f, o = torch.sigmoid(i), torch.sigmoid(f), torch.sigmoid(o)
+        g = torch.tanh(g)
         c = f * c + i * g
         h = o * torch.tanh(c)
     return _combine(p, x_self, h, combine, activation)

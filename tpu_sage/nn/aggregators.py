@@ -20,7 +20,6 @@ on-chip; replaces the reference's cuDNN LSTM — SURVEY.md §2.2).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax.numpy as jnp
@@ -140,25 +139,23 @@ class MeanPoolAggregator(PoolAggregator):
 
 class _LSTMRecurrent(nn.Module):
     """Recurrent half of the hoisted LSTM: consumes precomputed input-gate
-    activations per step, applies only the (H, H) recurrent projections.
-    Gate wiring identical to ``flax.linen.LSTMCell`` (input side biasless,
-    recurrent side biased, orthogonal recurrent init; i,f,g,o order)."""
+    pre-activations per step and applies ONE fused ``(H, 4H)`` recurrent
+    projection (the OptimizedLSTMCell trick), biased, orthogonal init.
+    Gate order i, f, g, o."""
 
     hidden_dim: int
     dtype: Dtype = None
 
     @nn.compact
-    def __call__(self, carry, xs):
+    def __call__(self, carry, xz):
         c, h = carry
-        xi, xf, xg, xo = xs
-        dense_h = partial(
-            nn.Dense, self.hidden_dim, use_bias=True, dtype=self.dtype,
-            kernel_init=nn.initializers.orthogonal(),
-        )
-        i = nn.sigmoid(xi + dense_h(name="hi")(h))
-        f = nn.sigmoid(xf + dense_h(name="hf")(h))
-        g = jnp.tanh(xg + dense_h(name="hg")(h))
-        o = nn.sigmoid(xo + dense_h(name="ho")(h))
+        z = xz + nn.Dense(
+            4 * self.hidden_dim, use_bias=True, dtype=self.dtype,
+            kernel_init=nn.initializers.orthogonal(), name="hz",
+        )(h)
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
+        g = jnp.tanh(g)
         c = f * c + i * g
         h = o * jnp.tanh(c)
         return (c, h), None
@@ -194,12 +191,11 @@ class LSTMAggregator(nn.Module):
 
             @nn.compact
             def __call__(self, seq):
-                dense_x = partial(nn.Dense, hid, use_bias=False, dtype=self.dtype)
-                # hoisted input projections: (B, F, H) each, one matmul apiece
-                gates = tuple(
-                    jnp.swapaxes(dense_x(name=n)(seq), 0, 1)  # (F, B, H)
-                    for n in ("ii", "if", "ig", "io")
-                )
+                # hoisted input projections for ALL gates: one (B·F, D)×(D, 4H)
+                # matmul over the whole sequence, then scan time-major
+                xz = nn.Dense(4 * hid, use_bias=False, dtype=self.dtype,
+                              name="xz")(seq)          # (B, F, 4H)
+                xz = jnp.swapaxes(xz, 0, 1)            # (F, B, 4H)
                 cell = nn.scan(
                     _LSTMRecurrent,
                     variable_broadcast="params",
@@ -207,7 +203,7 @@ class LSTMAggregator(nn.Module):
                     in_axes=0, out_axes=0,
                 )(hid, dtype=self.dtype, name="cell")
                 h0 = jnp.zeros((seq.shape[0], hid), seq.dtype)
-                (_, h), _ = cell((h0, h0), gates)
+                (_, h), _ = cell((h0, h0), xz)
                 return h
 
         summary = _Hoisted(dtype=self.dtype, name="lstm")(x_neigh)
