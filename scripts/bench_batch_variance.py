@@ -11,7 +11,13 @@ Usage: python scripts/bench_batch_variance.py   (TPU; prints JSONL)
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# (sys.path, not PYTHONPATH: the env var interferes with axon PJRT plugin
+# discovery at interpreter start)
 
 import jax.numpy as jnp
 

@@ -20,7 +20,13 @@ SCALING_r{N}.json next to bench results.
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# (sys.path, not PYTHONPATH: the env var interferes with axon PJRT plugin
+# discovery at interpreter start)
 
 import jax
 import jax.numpy as jnp

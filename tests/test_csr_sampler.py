@@ -1,0 +1,87 @@
+"""CSR (sparse-adjacency) sampler variant: identical semantics to the padded
+dense sampler at a fraction of the memory (SURVEY.md §2.1 sampler row)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import stats
+
+from tpu_sage.data.synthetic import sbm_store
+from tpu_sage.graph.graph_data import build_padded_adjacency
+from tpu_sage.sample.csr import (CSRNeighborSampler, csr_from_padded,
+                                 sample_tree_csr, uniform_neighbor_sample_csr)
+from tpu_sage.sample.sampler import sample_tree
+
+
+def _toy():
+    edges = np.array([[0, 1], [0, 2], [0, 3], [1, 2], [2, 3]])
+    adj, deg = build_padded_adjacency(edges, 6, max_degree=4)  # node 4,5 isolated
+    return adj, deg
+
+
+def test_csr_from_padded_roundtrip():
+    adj, deg = _toy()
+    indptr, indices = csr_from_padded(adj, deg)
+    assert indptr[-1] == deg.sum() == len(indices)
+    for v in range(6):
+        got = set(indices[indptr[v]:indptr[v + 1]].tolist())
+        want = set(adj[v, :deg[v]].tolist())
+        assert got == want, v
+
+
+def test_csr_membership_and_selfloop():
+    adj, deg = _toy()
+    s = CSRNeighborSampler.from_padded(adj, deg)
+    ids = jnp.arange(6, dtype=jnp.int32)
+    out = np.asarray(s(jax.random.key(0), ids, 8))
+    indptr, indices = csr_from_padded(adj, deg)
+    for v in range(6):
+        if deg[v] == 0:
+            assert (out[v] == v).all()  # isolated nodes self-loop
+        else:
+            true_nbrs = set(indices[indptr[v]:indptr[v + 1]].tolist())
+            assert set(out[v].tolist()) <= true_nbrs
+
+
+def test_csr_uniformity_chi2():
+    """Each true neighbor drawn with equal probability (χ² over many draws)."""
+    adj, deg = _toy()
+    s = CSRNeighborSampler.from_padded(adj, deg)
+    ids = jnp.zeros((2000,), jnp.int32)  # node 0, degree 3
+    out = np.asarray(s(jax.random.key(1), ids, 4)).reshape(-1)
+    counts = [int((out == v).sum()) for v in (1, 2, 3)]
+    assert sum(counts) == out.size
+    _, p = stats.chisquare(counts)
+    assert p > 0.001, counts
+
+
+def test_csr_tree_matches_dense_shapes_and_membership():
+    store = sbm_store(n_nodes=300, n_classes=3, feat_dim=8, seed=3)
+    indptr, indices = csr_from_padded(store.adj, store.degrees)
+    ids = jnp.asarray(np.arange(32), jnp.int32)
+    levels_csr = sample_tree_csr(
+        jax.random.key(2), jnp.asarray(indptr), jnp.asarray(indices),
+        jnp.asarray(store.degrees, jnp.int32), ids, (5, 3),
+    )
+    levels_dense = sample_tree(
+        jax.random.key(2), jnp.asarray(store.adj),
+        jnp.asarray(store.degrees, jnp.int32), ids, (5, 3),
+    )
+    assert [l.shape for l in levels_csr] == [l.shape for l in levels_dense]
+    # membership: every sampled id at level l+1 is a true neighbor of its
+    # parent at level l (or a self-loop for isolated parents)
+    for l in range(2):
+        parents = np.repeat(np.asarray(levels_csr[l]), (5, 3)[l])
+        children = np.asarray(levels_csr[l + 1])
+        for p, c in zip(parents[:100], children[:100]):
+            d = store.degrees[p]
+            if d == 0:
+                assert c == p
+            else:
+                assert c in set(indices[indptr[p]:indptr[p] + d].tolist())
+
+
+def test_csr_memory_is_smaller():
+    store = sbm_store(n_nodes=500, n_classes=3, feat_dim=8, seed=5)
+    indptr, indices = csr_from_padded(store.adj, store.degrees)
+    assert len(indices) + len(indptr) < store.adj.size  # nnz < n*max_degree

@@ -16,10 +16,13 @@ import numpy as np
 
 
 def profile_steps(trace_dir: str, steps: int = 20, batch_size: int = 512,
-                  compute_dtype: str = "float32", trace: bool = False) -> dict:
+                  compute_dtype: str = "float32", trace: bool = False,
+                  n_nodes: int = None, feat_dim: int = 602) -> dict:
     """``trace=False`` (default): timing only. Perfetto tracing hangs on the
     axon backend (observed: start/stop_trace never returns through the
-    tunnel); pass ``--trace`` only on standard PJRT backends."""
+    tunnel); pass ``--trace`` only on standard PJRT backends — verified
+    working on the CPU backend, where it writes the Perfetto
+    ``*.trace.json.gz`` + ``*.xplane.pb`` pair (tests/test_profile.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -27,7 +30,8 @@ def profile_steps(trace_dir: str, steps: int = 20, batch_size: int = 512,
     from tpu_sage.data.synthetic import bench_store
     from tpu_sage.train.trainer import TrainConfig, Trainer, build_model
 
-    store = bench_store()
+    store = (bench_store() if n_nodes is None
+             else bench_store(n_nodes=n_nodes, feat_dim=feat_dim))
     problem = NodeProblem(store)
     config = TrainConfig(batch_size=batch_size, n_train_samples=(25, 10),
                          n_val_samples=(25, 10), output_dims=(128, 128),

@@ -1,0 +1,105 @@
+"""CSR (sparse-adjacency) neighbor sampling — the memory-lean variant.
+
+SURVEY.md §2.1 sampler row notes the reference may carry a sparse sampler
+variant [K-med]. This is the TPU formulation: adjacency as true CSR
+(``indptr (n+1,)``, ``indices (nnz,)``) instead of the padded
+``(n, max_degree)`` table. Memory drops from ``n·max_degree`` to ``nnz``
+ids — on skewed-degree graphs with a high ``max_degree`` cap that is a
+multi-× HBM saving, at the cost of an element gather per hop (B·fanout
+random loads from the flat ``indices`` array).
+
+Tradeoff, measured on v5e (STATUS.md perf log): element gathers are
+latency-bound (~0.6 ms/call) and the padded-table row-gather + one-hot
+column select is the throughput-optimal default. Use CSR when the padded
+table doesn't fit: ``problem.h5`` graphs with ``max_degree`` ≫ mean degree.
+
+Sampling semantics are IDENTICAL to the dense sampler: uniform with
+replacement over the true neighbors, degree-0 nodes self-loop.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def csr_from_padded(
+    adj: np.ndarray, degrees: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side: padded ``(n, max_degree)`` table → (indptr, indices)."""
+    degrees = np.asarray(degrees, dtype=np.int64)
+    indptr = np.zeros(len(degrees) + 1, dtype=np.int64)
+    np.cumsum(degrees, out=indptr[1:])
+    mask = np.arange(adj.shape[1])[None, :] < degrees[:, None]
+    indices = np.asarray(adj)[mask].astype(np.int32)
+    return indptr.astype(np.int32), indices
+
+
+def uniform_neighbor_sample_csr(
+    key: jax.Array,
+    indptr: jnp.ndarray,    # (n+1,) int32
+    indices: jnp.ndarray,   # (nnz,) int32
+    degrees: jnp.ndarray,   # (n,) int32
+    ids: jnp.ndarray,       # (B,) int32
+    n_samples: int,
+) -> jnp.ndarray:
+    """Sample ``n_samples`` neighbors per node with replacement from CSR.
+
+    ``out[b, k] = indices[indptr[ids[b]] + floor(u·deg)]``; degree-0 nodes
+    self-loop (their empty CSR row would otherwise alias the next row's
+    data).
+    """
+    ids = ids.astype(jnp.int32)
+    deg = degrees[ids]
+    safe_deg = jnp.maximum(deg, 1)
+    u = jax.random.uniform(key, (ids.shape[0], n_samples))
+    off = jnp.minimum(
+        (u * safe_deg[:, None].astype(u.dtype)).astype(jnp.int32),
+        safe_deg[:, None] - 1,
+    )
+    pos = indptr[ids][:, None] + off                     # (B, k)
+    nbr = indices[pos.reshape(-1)].reshape(ids.shape[0], n_samples)
+    return jnp.where(deg[:, None] == 0, ids[:, None], nbr)
+
+
+def sample_tree_csr(
+    key: jax.Array,
+    indptr: jnp.ndarray,
+    indices: jnp.ndarray,
+    degrees: jnp.ndarray,
+    ids: jnp.ndarray,
+    fanouts: Sequence[int],
+) -> List[jnp.ndarray]:
+    """``sample_tree`` against CSR storage; same level-shape contract."""
+    levels = [ids.astype(jnp.int32)]
+    for fanout in fanouts:
+        key, sub = jax.random.split(key)
+        nbr = uniform_neighbor_sample_csr(
+            sub, indptr, indices, degrees, levels[-1], fanout
+        )
+        levels.append(nbr.reshape(-1))
+    return levels
+
+
+class CSRNeighborSampler:
+    """Object wrapper mirroring ``UniformNeighborSampler``'s API over CSR."""
+
+    def __init__(self, indptr: jnp.ndarray, indices: jnp.ndarray,
+                 degrees: jnp.ndarray):
+        self.indptr = indptr
+        self.indices = indices
+        self.degrees = degrees
+
+    @classmethod
+    def from_padded(cls, adj, degrees) -> "CSRNeighborSampler":
+        indptr, indices = csr_from_padded(np.asarray(adj), np.asarray(degrees))
+        return cls(jnp.asarray(indptr), jnp.asarray(indices),
+                   jnp.asarray(degrees, jnp.int32))
+
+    def __call__(self, key: jax.Array, ids: jnp.ndarray, n_samples: int) -> jnp.ndarray:
+        return uniform_neighbor_sample_csr(
+            key, self.indptr, self.indices, self.degrees, ids, n_samples
+        )
