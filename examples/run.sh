@@ -32,3 +32,14 @@ echo "== unsupervised (skip-gram neg-sampling) =="
 python -m tpu_sage.cli --problem-path "$OUT/problem.h5" \
   --aggregator-class mean --n-train-samples 10,5 --n-val-samples 10,5 \
   --batch-size 256 --epochs 3 --unsupervised
+
+echo "== partitioned (node-sharded mesh over all visible devices) =="
+python -m tpu_sage.cli --problem-path "$OUT/problem.h5" \
+  --aggregator-class mean --n-train-samples 10,5 --n-val-samples 10,5 \
+  --batch-size 256 --epochs 3 --partitioned \
+  --checkpoint-path "$OUT/part.npz" --checkpoint-every 1
+
+echo "== partitioned unsupervised (halo-walked NCE) =="
+python -m tpu_sage.cli --problem-path "$OUT/problem.h5" \
+  --aggregator-class mean --n-train-samples 10,5 --n-val-samples 10,5 \
+  --batch-size 256 --epochs 2 --partitioned --unsupervised

@@ -127,7 +127,7 @@ class UnsupervisedTrainer:
 
     def _nce_loss_and_grads(self, params, key, graph, ids, walks):
         """Shared by train_step and the epoch scan."""
-        k_walk, k_neg, k_u, k_p, k_n = jax.random.split(key, 5)
+        k_walk, k_neg, k_tree = jax.random.split(key, 3)
         b = ids.shape[0]
         q = self.unsup.n_negatives
         if walks is not None:
@@ -147,10 +147,16 @@ class UnsupervisedTrainer:
             neg = jax.random.randint(k_neg, (b * q,), 0, graph.n_nodes)
         neg = neg.astype(jnp.int32)
 
+        # anchors ∪ positives ∪ negatives share ONE sampled tree and one
+        # encoder pass — (2+q)·b roots in a single cascade instead of three
+        # separate gather chains (the encoder is per-root, so the math is
+        # identical; measured 55.9 → see RESULTS.md round 2)
+        roots = jnp.concatenate([ids.astype(jnp.int32), pos, neg])
+
         def loss_of(p):
-            z_u = self._encode(p, k_u, graph, ids)
-            z_p = self._encode(p, k_p, graph, pos)
-            z_n = self._encode(p, k_n, graph, neg).reshape(b, q, -1)
+            z = self._encode(p, k_tree, graph, roots)
+            z_u, z_p = z[:b], z[b : 2 * b]
+            z_n = z[2 * b :].reshape(b, q, -1)
             return nce_loss(z_u, z_p, z_n)
 
         return jax.value_and_grad(loss_of)(params)
