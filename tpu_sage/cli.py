@@ -67,6 +67,15 @@ def parse_args(argv=None):
     ap.add_argument("--partitioned", action="store_true",
                     help="node-sharded multi-chip training over a 'data' mesh "
                          "of all visible devices (halo-exchange path)")
+    ap.add_argument("--halo", default=None, choices=["exact", "ring", "bucketed"],
+                    help="halo-exchange implementation for --partitioned "
+                         "(default exact; ring measured fastest on multi-shard "
+                         "meshes — SCALING_r02.json)")
+    ap.add_argument("--halo-capacity-factor", type=float, default=None,
+                    help="bucketed-halo capacity factor (default 2.0)")
+    ap.add_argument("--fuse-first-layer", action="store_true",
+                    help="whole-table projection first layer (mean+identity; "
+                         "custom-VJP training path — see RESULTS.md tradeoffs)")
     ap.add_argument("--unsupervised", action="store_true",
                     help="train with the skip-gram negative-sampling objective "
                          "instead of the supervised head")
@@ -169,6 +178,12 @@ def main(argv=None):
         "combine": args.combine,
         "normalize": not args.no_normalize,
     }
+    if args.halo is not None:
+        flag_values["halo"] = args.halo
+    if args.halo_capacity_factor is not None:
+        flag_values["halo_capacity_factor"] = args.halo_capacity_factor
+    if args.fuse_first_layer:
+        flag_values["fuse_first_layer"] = True
     if args.config:
         # preset json is the base; flags PRESENT ON THE COMMAND LINE override
         # it (detected from raw argv so passing a flag's default value still
@@ -192,6 +207,12 @@ def main(argv=None):
             overrides["output_dims"] = output_dims
         if args.no_normalize:
             overrides["normalize"] = False
+        if args.halo is not None:
+            overrides["halo"] = args.halo
+        if args.halo_capacity_factor is not None:
+            overrides["halo_capacity_factor"] = args.halo_capacity_factor
+        if args.fuse_first_layer:
+            overrides["fuse_first_layer"] = True
         config = config.replace(**overrides)
     else:
         config = TrainConfig(**flag_values)
