@@ -85,3 +85,16 @@ def test_csr_memory_is_smaller():
     store = sbm_store(n_nodes=500, n_classes=3, feat_dim=8, seed=5)
     indptr, indices = csr_from_padded(store.adj, store.degrees)
     assert len(indices) + len(indptr) < store.adj.size  # nnz < n*max_degree
+
+
+def test_fit_with_csr_adjacency():
+    """The full product fit loop runs on CSR storage and converges."""
+    from tpu_sage.data.synthetic import sbm_problem
+    from tpu_sage.train.trainer import TrainConfig, fit
+
+    problem = sbm_problem(n_nodes=400, n_classes=4, feat_dim=16, seed=21)
+    cfg = TrainConfig(batch_size=64, epochs=4, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32))
+    _, _, hist = fit(problem, cfg, log=lambda d: None, csr=True)
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+    assert hist[-1]["val_metric"] > 0.8

@@ -76,6 +76,10 @@ def parse_args(argv=None):
     ap.add_argument("--fuse-first-layer", action="store_true",
                     help="whole-table projection first layer (mean+identity; "
                          "custom-VJP training path — see RESULTS.md tradeoffs)")
+    ap.add_argument("--csr-adjacency", action="store_true",
+                    help="store the adjacency as CSR on device (nnz ids "
+                         "instead of n*max_degree — memory-lean; single-device "
+                         "supervised path)")
     ap.add_argument("--unsupervised", action="store_true",
                     help="train with the skip-gram negative-sampling objective "
                          "instead of the supervised head")
@@ -293,6 +297,7 @@ def main(argv=None):
             resume_from=args.checkpoint_path, log=log,
             val_interval_batches=args.val_interval,
             checkpoint_every=args.checkpoint_every,
+            csr=args.csr_adjacency,
         )
 
     if args.checkpoint_path:

@@ -125,16 +125,19 @@ class NodeProblem:
 
     # -- device access -----------------------------------------------------
 
-    def device_graph(self, train: bool, dtype=None) -> DeviceGraph:
+    def device_graph(self, train: bool, dtype=None, csr: bool = False) -> DeviceGraph:
         """Upload (once, cached) the train-edge or full-edge graph.
 
         ``dtype``: feature dtype on device (e.g. ``jnp.bfloat16`` halves the
-        dominant HBM gather traffic; default float32)."""
+        dominant HBM gather traffic; default float32). ``csr=True`` uploads
+        CSR storage (``nnz`` ids instead of ``n·max_degree`` — the memory-lean
+        option; sampling tradeoff in ``tpu_sage.sample.csr``)."""
         import jax.numpy as jnp
 
-        key = (train, str(dtype))
+        key = (train, str(dtype), csr)
         if key not in self._device_graphs:
-            self._device_graphs[key] = self.store.to_device(
+            to_dev = self.store.to_device_csr if csr else self.store.to_device
+            self._device_graphs[key] = to_dev(
                 train=train, dtype=dtype or jnp.float32
             )
         return self._device_graphs[key]

@@ -55,6 +55,32 @@ class DeviceGraph:
         return self.feats.shape[1]
 
 
+@struct.dataclass
+class CSRDeviceGraph:
+    """CSR variant of :class:`DeviceGraph` — the memory-lean storage.
+
+    ``nnz`` neighbor ids instead of ``n·max_degree``; sampling runs through
+    ``tpu_sage.sample.csr`` (element gather per hop — latency-bound, see the
+    module docstring tradeoff). Duck-compatible with ``DeviceGraph`` for
+    every non-adjacency field, so the trainer dispatches purely on the
+    presence of ``indptr``.
+    """
+
+    indptr: jnp.ndarray    # (n_nodes+1,) int32
+    indices: jnp.ndarray   # (nnz,) int32
+    degrees: jnp.ndarray   # (n_nodes,) int32
+    feats: jnp.ndarray     # (n_nodes, feat_dim) float
+    targets: jnp.ndarray   # (n_nodes,) int32 or (n_nodes, n_targets) float
+
+    @property
+    def n_nodes(self) -> int:
+        return self.degrees.shape[0]
+
+    @property
+    def feat_dim(self) -> int:
+        return self.feats.shape[1]
+
+
 def build_padded_adjacency(
     edges: np.ndarray,
     n_nodes: int,
@@ -153,6 +179,25 @@ class GraphStore:
             targets = jnp.asarray(self.targets, dtype=dtype)
         return DeviceGraph(
             adj=jnp.asarray(adj, dtype=jnp.int32),
+            degrees=jnp.asarray(deg, dtype=jnp.int32),
+            feats=jnp.asarray(self.feats, dtype=dtype),
+            targets=targets,
+        )
+
+    def to_device_csr(self, train: bool, dtype=jnp.float32) -> CSRDeviceGraph:
+        """CSR upload: ``nnz`` ids in HBM instead of ``n·max_degree``."""
+        from tpu_sage.sample.csr import csr_from_padded
+
+        adj = self.train_adj if train else self.adj
+        deg = self.train_degrees if train else self.degrees
+        indptr, indices = csr_from_padded(adj, deg)
+        if self.task == "classification":
+            targets = jnp.asarray(self.targets, dtype=jnp.int32)
+        else:
+            targets = jnp.asarray(self.targets, dtype=dtype)
+        return CSRDeviceGraph(
+            indptr=jnp.asarray(indptr, dtype=jnp.int32),
+            indices=jnp.asarray(indices, dtype=jnp.int32),
             degrees=jnp.asarray(deg, dtype=jnp.int32),
             feats=jnp.asarray(self.feats, dtype=dtype),
             targets=targets,

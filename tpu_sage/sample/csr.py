@@ -84,6 +84,19 @@ def sample_tree_csr(
     return levels
 
 
+def graph_sample_tree(key, graph, ids, fanouts):
+    """Storage-dispatching ``sample_tree``: dense padded table or CSR.
+
+    The dispatch is on pytree structure (``indptr`` presence), resolved at
+    trace time — both graph types flow through the same jit'd trainer."""
+    from tpu_sage.sample.sampler import sample_tree
+
+    if hasattr(graph, "indptr"):
+        return sample_tree_csr(key, graph.indptr, graph.indices,
+                               graph.degrees, ids, fanouts)
+    return sample_tree(key, graph.adj, graph.degrees, ids, fanouts)
+
+
 class CSRNeighborSampler:
     """Object wrapper mirroring ``UniformNeighborSampler``'s API over CSR."""
 

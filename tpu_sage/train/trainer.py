@@ -34,7 +34,7 @@ from flax import struct
 
 from tpu_sage.graph.graph_data import DeviceGraph
 from tpu_sage.nn.model import GSSupervised, default_layer_specs
-from tpu_sage.sample.sampler import sample_tree
+from tpu_sage.sample.csr import graph_sample_tree
 from tpu_sage.train.losses import loss_lookup
 from tpu_sage.train.lr import LRSchedule
 from tpu_sage.train.metrics import metric_lookup
@@ -206,7 +206,7 @@ class Trainer:
         fanouts = self.model.fanouts(train=True)
 
         def loss_of(params):
-            levels = sample_tree(sample_key, graph.adj, graph.degrees, ids, fanouts)
+            levels = graph_sample_tree(sample_key, graph, ids, fanouts)
             logits = self.model.apply(params, levels, graph.feats)
             return self.loss_fn(logits, targets), logits
 
@@ -266,7 +266,7 @@ class Trainer:
             k, sample_key = jax.random.split(st.key)
 
             def loss_of(params):
-                levels = sample_tree(sample_key, graph.adj, graph.degrees, ids, fanouts)
+                levels = graph_sample_tree(sample_key, graph, ids, fanouts)
                 logits = self.model.apply(params, levels, graph.feats)
                 return self.loss_fn(logits, targets)
 
@@ -302,7 +302,7 @@ class Trainer:
         def body(k, batch):
             ids, targets, mask = batch
             k, sample_key = jax.random.split(k)
-            levels = sample_tree(sample_key, graph.adj, graph.degrees, ids, fanouts)
+            levels = graph_sample_tree(sample_key, graph, ids, fanouts)
             logits = self.model.apply(params, levels, graph.feats)
             if self.task == "classification":
                 correct = jnp.sum(
@@ -370,6 +370,7 @@ def fit(
     resume_from: Optional[str] = None,
     val_interval_batches: Optional[int] = None,
     checkpoint_every: int = 0,
+    csr: bool = False,
 ) -> Tuple[Trainer, TrainState, list]:
     """End-to-end training on a NodeProblem (reference ``train.py`` contract):
     per-epoch train over the train fold with per-batch LR, validation on the
@@ -396,8 +397,8 @@ def fit(
     model = build_model(config, problem.n_nodes, problem.n_classes)
     trainer = Trainer(model, config, steps_per_epoch, task=problem.task)
 
-    graph_train = problem.device_graph(train=True)
-    graph_full = problem.device_graph(train=False)
+    graph_train = problem.device_graph(train=True, csr=csr)
+    graph_full = problem.device_graph(train=False, csr=csr)
     state = trainer.init_state(graph_train)
     start_epoch = 0
     if resume_from and os.path.exists(resume_from):
