@@ -70,7 +70,7 @@ def test_two_process_psum_and_divergence_check(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=90)
+            out, _ = p.communicate(timeout=150)
             outs.append(out.decode())
     except subprocess.TimeoutExpired:
         for p in procs:
