@@ -236,6 +236,10 @@ def main(argv=None):
             logf.write(json.dumps(rec) + "\n")
             logf.flush()
 
+    if args.checkpoint_every > 0 and not args.checkpoint_path:
+        print("error: --checkpoint-every requires --checkpoint-path",
+              file=sys.stderr)
+        return 2
     if args.partitioned and args.unsupervised:
         from tpu_sage.dist.unsupervised import fit_unsupervised_partitioned
         from tpu_sage.train.unsupervised import UnsupConfig
