@@ -173,3 +173,21 @@ def test_convert_cli_ogb_npz(tmp_path):
     problem = NodeProblem.from_h5(out)
     assert problem.n_nodes == n
     assert problem.task == "classification"
+
+
+def test_ogb_npz_regression_labels_stay_float(tmp_path):
+    """Float regression labels must not be int-truncated (round-2 fix)."""
+    rng = np.random.default_rng(11)
+    n = 40
+    path = str(tmp_path / "r.npz")
+    perm = rng.permutation(n)
+    labels = rng.normal(size=n).astype(np.float32)
+    np.savez(path, edges=rng.integers(0, n, (100, 2)),
+             feats=rng.random((n, 4)).astype(np.float32), labels=labels,
+             train_idx=perm[:20], val_idx=perm[20:30], test_idx=perm[30:])
+    store = from_ogb_npz(path, max_degree=8, task="regression")
+    assert store.task == "regression"
+    assert store.targets.dtype == np.float32
+    assert store.targets.shape == (n, 1)
+    np.testing.assert_allclose(store.targets[:, 0], labels, rtol=1e-6)
+    assert store.n_classes == 1  # regression head width = target columns

@@ -86,3 +86,23 @@ def test_walk_corpus_mode(tmp_path):
                       n_val_samples=(5, 3), output_dims=(16, 16), lr_init=0.01)
     _, _, hist = fit_unsupervised(problem, cfg, log=lambda d: None)
     assert hist[-1]["unsup_loss"] < hist[0]["unsup_loss"]
+
+
+def test_unsupervised_checkpoint_resume(tmp_path):
+    """Periodic checkpoint + exact-epoch resume through fit_unsupervised
+    (round-2 gap: the single-device unsupervised path now has the same
+    crash protection as every other fit loop)."""
+    problem = sbm_problem(n_nodes=300, n_classes=3, feat_dim=16, seed=29)
+    cfg = TrainConfig(batch_size=64, epochs=2, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(16, 16))
+    ckpt = str(tmp_path / "u.npz")
+    recs = []
+    fit_unsupervised(problem, cfg, UnsupConfig(walk_length=2),
+                     log=recs.append, resume_from=ckpt, checkpoint_every=1)
+    assert any("checkpoint" in r for r in recs)
+    recs2 = []
+    fit_unsupervised(problem, cfg.replace(epochs=4), UnsupConfig(walk_length=2),
+                     log=recs2.append, resume_from=ckpt, checkpoint_every=1)
+    resumed = next(r for r in recs2 if "resumed_from" in r)
+    assert resumed["start_epoch"] == 2
+    assert [r["epoch"] for r in recs2 if "epoch" in r] == [2, 3]

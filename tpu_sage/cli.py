@@ -240,6 +240,12 @@ def main(argv=None):
         print("error: --checkpoint-every requires --checkpoint-path",
               file=sys.stderr)
         return 2
+    if args.csr_adjacency and (args.partitioned or args.unsupervised):
+        # rejecting beats silently uploading the dense table the user asked
+        # to avoid
+        print("error: --csr-adjacency currently supports the single-device "
+              "supervised path only", file=sys.stderr)
+        return 2
     if args.partitioned and args.unsupervised:
         from tpu_sage.dist.unsupervised import fit_unsupervised_partitioned
         from tpu_sage.train.unsupervised import UnsupConfig
@@ -281,6 +287,8 @@ def main(argv=None):
             problem, config,
             UnsupConfig(walk_length=args.walk_length, n_negatives=args.n_negatives),
             log=log,
+            resume_from=args.checkpoint_path,
+            checkpoint_every=args.checkpoint_every,
         )
         if not args.no_eval and problem.task == "classification":
             # paper protocol: logistic probe on the learned embeddings

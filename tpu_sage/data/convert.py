@@ -265,12 +265,16 @@ def from_ogb_npz(path: str, max_degree: int = 128, seed: int = 0,
     """
     z = np.load(path)
     labels = z["labels"]
-    targets = (
-        labels.reshape(-1).astype(np.int64)
-        if labels.ndim == 1 or labels.shape[1] == 1
-        else labels.astype(np.float32)
-    )
-    if task == "classification" and targets.ndim == 2:
+    single_col = labels.ndim == 1 or labels.shape[1] == 1
+    if task.startswith("regression"):
+        # regression targets stay float and keep a (n, d) shape
+        targets = labels.astype(np.float32)
+        if targets.ndim == 1:
+            targets = targets[:, None]
+    elif single_col:
+        targets = labels.reshape(-1).astype(np.int64)
+    else:
+        targets = labels.astype(np.float32)
         task = "multilabel_classification"
     folds = {
         "train": z["train_idx"].astype(np.int64),
@@ -353,7 +357,8 @@ def main(argv=None):  # pragma: no cover - thin CLI
                          max_degree=args.max_degree, seed=args.seed)
     elif args.format == "ogb-npz":
         store = from_ogb_npz(args.inpath, max_degree=args.max_degree,
-                             seed=args.seed)
+                             seed=args.seed,
+                             task=args.task or "classification")
     else:
         store = from_wl_json(
             args.inpath, args.prefix, max_degree=args.max_degree,

@@ -73,36 +73,58 @@ def make_gather(mode: str, n_shards: int, capacity_factor: float):
     return bucketed
 
 
-def epoch_batch_ids(
-    key: jax.Array,
-    step: jnp.ndarray,        # () int32 global step counter
-    fold_row: jnp.ndarray,    # (L,) this shard's fold-id slots
-    count: jnp.ndarray,       # () true number of real fold nodes in the row
-    bps: int,
-    steps_per_epoch: int,
+def epoch_perm(
+    perm_base: jax.Array,     # STATIC seed-derived key (not the mutating state key)
+    epoch: jnp.ndarray,       # () int32
     my: jnp.ndarray,          # () shard index
+    L: int,
+    count: jnp.ndarray,       # () true number of real fold nodes
 ) -> jnp.ndarray:
-    """Per-shard per-epoch permutation batching (single-device semantics).
+    """Random permutation of the shard's first ``count`` real fold slots,
+    fixed for the whole epoch.
 
-    Epoch ``e = step // steps_per_epoch`` fixes one random permutation of the
-    shard's first ``count`` (real) fold slots; step ``t`` within the epoch
-    takes slots ``[t·bps, t·bps+bps) mod count`` of that permutation. Draws
-    are without replacement until the shard's group is exhausted, exactly
-    uniform over the true group (the wrap-tiled tail is never sampled), and
-    deterministic given (key, step) — so crash-resume replays the same
-    batches. Matches the reference's shuffled-epoch distribution instead of
-    the with-replacement ``randint`` this replaces.
+    Keyed on a STATIC seed-derived base key (plus epoch and shard), NOT the
+    per-step-mutating state key — so the stepwise path, the scanned epoch
+    path, and a crash-resume replay all walk the identical permutation for a
+    given epoch. O(L log L); callers compute it once per epoch, not per step.
     """
-    L = fold_row.shape[0]
-    n = jnp.maximum(count.astype(jnp.int32), 1)
-    epoch = step // steps_per_epoch
-    t = step % steps_per_epoch
-    kp = jax.random.fold_in(jax.random.fold_in(key, 77_003 + epoch), my)
+    kp = jax.random.fold_in(jax.random.fold_in(perm_base, 77_003 + epoch), my)
     r = jax.random.uniform(kp, (L,))
     r = jnp.where(jnp.arange(L) < count, r, jnp.inf)
-    perm = jnp.argsort(r)  # first `count` entries: random perm of real slots
+    return jnp.argsort(r)  # first `count` entries: random perm of real slots
+
+
+def perm_batch(
+    perm: jnp.ndarray,        # (L,) epoch permutation
+    fold_row: jnp.ndarray,    # (L,) this shard's fold-id slots
+    count: jnp.ndarray,       # () true number of real fold nodes
+    t: jnp.ndarray,           # () step index within the epoch
+    bps: int,
+) -> jnp.ndarray:
+    """Slots ``[t·bps, t·bps+bps) mod count`` of the epoch permutation —
+    without replacement until the shard's group is exhausted, exactly uniform
+    over the true group (the wrap-tiled tail is never sampled)."""
+    n = jnp.maximum(count.astype(jnp.int32), 1)
     slot = (t * bps + jnp.arange(bps)) % n
     return fold_row[perm[slot]]
+
+
+def epoch_batch_ids(
+    perm_base: jax.Array,
+    step: jnp.ndarray,
+    fold_row: jnp.ndarray,
+    count: jnp.ndarray,
+    bps: int,
+    steps_per_epoch: int,
+    my: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-shard per-epoch permutation batching (single-device semantics):
+    ``epoch_perm`` + ``perm_batch`` in one call — the stepwise path (the
+    scanned epoch carries the perm instead of recomputing per step)."""
+    epoch = step // steps_per_epoch
+    t = step % steps_per_epoch
+    perm = epoch_perm(perm_base, epoch, my, fold_row.shape[0], count)
+    return perm_batch(perm, fold_row, count, t, bps)
 
 
 def sample_level_distributed(
@@ -169,20 +191,30 @@ class PartitionedTrainer:
 
     # -- construction helpers ----------------------------------------------
 
+    @staticmethod
+    def _sharded_inputs(store: GraphStore, config: TrainConfig, mesh: Mesh,
+                        axis: str):
+        """Shared sharding front-end: node-sharded graph + fold table.
+        Returns ``(graph, shard_size, steps_per_epoch, fold_ids_d, fold_w_d)``."""
+        graph, m = shard_graph(store, mesh, train=True, axis=axis)
+        n_shards = mesh.shape[axis]
+        fold_ids, fold_w = shard_fold(store.folds["train"], n_shards, m)
+        steps_per_epoch = max(1, len(store.folds["train"]) // config.batch_size)
+        sh = NamedSharding(mesh, P(axis))
+        fold_ids_d = jax.device_put(jnp.asarray(fold_ids, jnp.int32), sh)
+        fold_w_d = jax.device_put(jnp.asarray(fold_w), sh)
+        return graph, m, steps_per_epoch, fold_ids_d, fold_w_d
+
     @classmethod
     def from_store(
         cls, store: GraphStore, config: TrainConfig, mesh: Mesh, axis: str = "data"
     ) -> Tuple["PartitionedTrainer", DeviceGraph, jnp.ndarray, jnp.ndarray]:
         """Build trainer + sharded graph + sharded fold table from a host store."""
-        graph, m = shard_graph(store, mesh, train=True, axis=axis)
-        n_shards = mesh.shape[axis]
-        fold_ids, fold_w = shard_fold(store.folds["train"], n_shards, m)
-        steps_per_epoch = max(1, len(store.folds["train"]) // config.batch_size)
+        graph, m, steps_per_epoch, fold_ids_d, fold_w_d = cls._sharded_inputs(
+            store, config, mesh, axis
+        )
         model = build_model(config, store.n_nodes, store.n_classes)
         trainer = cls(model, config, mesh, m, steps_per_epoch, task=store.task, axis=axis)
-        sh = NamedSharding(mesh, P(axis))
-        fold_ids_d = jax.device_put(jnp.asarray(fold_ids, jnp.int32), sh)
-        fold_w_d = jax.device_put(jnp.asarray(fold_w), sh)
         return trainer, graph, fold_ids_d, fold_w_d
 
     def init_state(self, feat_dim: int, key: Optional[jax.Array] = None) -> TrainState:
@@ -224,6 +256,7 @@ class PartitionedTrainer:
         bps = self.batch_per_shard
         gather = self.gather
         spe = self.steps_per_epoch
+        perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
 
         def shard_step(params, opt_state, step, key, adj, deg, feats, targets,
                        fold_ids, fold_w):
@@ -235,7 +268,8 @@ class PartitionedTrainer:
             k = jax.random.fold_in(jax.random.fold_in(key, step), my)
             _, k_sample = jax.random.split(k)
 
-            ids = epoch_batch_ids(key, step, fold_ids[0], fold_w[0], bps, spe, my)
+            ids = epoch_batch_ids(perm_base, step, fold_ids[0], fold_w[0],
+                                  bps, spe, my)
             tgt = targets[ids - offset]
             w = fold_w[0]
 
@@ -306,6 +340,7 @@ class PartitionedTrainer:
         bps = self.batch_per_shard
         gather = self.gather
         spe = self.steps_per_epoch
+        perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
 
         def shard_epoch(params, opt_state, step0, key, adj, deg, feats, targets,
                         fold_ids, fold_w):
@@ -314,13 +349,25 @@ class PartitionedTrainer:
             offset = my * m
             adj_deg = jnp.concatenate([adj, deg[:, None]], axis=1)
             w = fold_w[0]
+            count = fold_w[0]
+            L = fold_ids.shape[1]
+            perm0 = epoch_perm(perm_base, step0 // spe, my, L, count)
 
             def body(carry, _):
-                params, opt_state, step = carry
+                params, opt_state, step, perm = carry
+                t = step % spe
+                # recompute the permutation only at epoch boundaries; it is
+                # carried through the scan otherwise (O(L log L) once per
+                # epoch, not per step)
+                perm = lax.cond(
+                    t == 0,
+                    lambda p: epoch_perm(perm_base, step // spe, my, L, count),
+                    lambda p: p,
+                    perm,
+                )
                 k = jax.random.fold_in(jax.random.fold_in(key, step), my)
                 _, k_sample = jax.random.split(k)
-                ids = epoch_batch_ids(key, step, fold_ids[0], fold_w[0],
-                                      bps, spe, my)
+                ids = perm_batch(perm, fold_ids[0], count, t, bps)
                 tgt = targets[ids - offset]
 
                 def fwd(p):
@@ -344,10 +391,10 @@ class PartitionedTrainer:
                 grads = lax.psum(grads, axis)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state, step + 1), loss
+                return (params, opt_state, step + 1, perm), loss
 
-            (params, opt_state, step), losses = jax.lax.scan(
-                body, (params, opt_state, step0), None, length=n_steps
+            (params, opt_state, step, _), losses = jax.lax.scan(
+                body, (params, opt_state, step0, perm0), None, length=n_steps
             )
             return params, opt_state, step, losses.mean()
 
@@ -520,18 +567,14 @@ def fit_partitioned(
 
         mesh = make_mesh()
 
+    from tpu_sage.train.checkpoint import maybe_checkpoint, resume_state
+
     trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(
         store, config, mesh
     )
     state = trainer.init_state(feat_dim=store.feat_dim)
-    start_epoch = 0
-    if resume_from and os.path.exists(resume_from):
-        from tpu_sage.train.checkpoint import load_checkpoint
-
-        state = load_checkpoint(resume_from, state)
-        start_epoch = int(state.step) // trainer.steps_per_epoch
-        log({"resumed_from": resume_from, "step": int(state.step),
-             "start_epoch": start_epoch})
+    state, start_epoch = resume_state(state, resume_from,
+                                      trainer.steps_per_epoch, log)
 
     history = []
     for epoch in range(start_epoch, config.epochs):
@@ -548,14 +591,7 @@ def fit_partitioned(
                                                  seed=config.seed + 1)
         history.append(rec)
         log(rec)
-        if (
-            checkpoint_every > 0 and resume_from
-            and (epoch + 1) % checkpoint_every == 0
-        ):
-            from tpu_sage.train.checkpoint import save_checkpoint
-
-            save_checkpoint(resume_from, state)
-            log({"checkpoint": resume_from, "step": int(state.step)})
+        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log)
     if eval_every_epoch and len(store.folds.get("test", [])):
         log({"final_test_metric": trainer.evaluate(state, store, fold="test",
                                                    seed=config.seed + 2)})

@@ -35,17 +35,22 @@ import optax
 from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpu_sage.dist.partition import shard_fold, shard_fold_masked, shard_graph
-from tpu_sage.dist.train import (epoch_batch_ids, make_gather,
+from tpu_sage.dist.partition import shard_fold_masked, shard_graph
+from tpu_sage.dist.train import (PartitionedTrainer, epoch_perm, perm_batch,
                                  sample_level_distributed)
 from tpu_sage.graph.graph_data import DeviceGraph, GraphStore
 from tpu_sage.nn.model import GSSupervised
-from tpu_sage.train.trainer import TrainConfig, TrainState, build_model, build_optimizer
+from tpu_sage.train.trainer import TrainConfig, TrainState, build_model
 from tpu_sage.train.unsupervised import UnsupConfig, nce_loss
 
 
-class PartitionedUnsupervisedTrainer:
-    """Multi-chip sibling of ``UnsupervisedTrainer`` over a sharded graph."""
+class PartitionedUnsupervisedTrainer(PartitionedTrainer):
+    """Multi-chip sibling of ``UnsupervisedTrainer`` over a sharded graph.
+
+    Inherits the sharding front-end, replicated ``init_state`` placement and
+    halo-gather selection from :class:`PartitionedTrainer`; replaces the
+    supervised step/epoch with the NCE objective and supervised evaluation
+    with ``embed_fold`` (the downstream-probe protocol)."""
 
     def __init__(
         self,
@@ -58,23 +63,10 @@ class PartitionedUnsupervisedTrainer:
         n_real_nodes: int,
         axis: str = "data",
     ):
-        self.model = model
-        self.config = config
+        super().__init__(model, config, mesh, shard_size, steps_per_epoch,
+                         task="classification", axis=axis)
         self.unsup = unsup
-        self.mesh = mesh
-        self.axis = axis
-        self.shard_size = shard_size
-        self.n_shards = mesh.shape[axis]
-        self.steps_per_epoch = steps_per_epoch
         self.n_real_nodes = n_real_nodes
-        self.tx = build_optimizer(config, steps_per_epoch)
-        self.batch_per_shard = max(1, config.batch_size // self.n_shards)
-        self.gather = make_gather(
-            getattr(config, "halo", "exact"),
-            self.n_shards,
-            getattr(config, "halo_capacity_factor", 2.0),
-        )
-        self._epoch_fns = {}
         self._embed_fn = None
         self._embed_graph = None
 
@@ -87,16 +79,12 @@ class PartitionedUnsupervisedTrainer:
         mesh: Mesh,
         axis: str = "data",
     ) -> Tuple["PartitionedUnsupervisedTrainer", DeviceGraph, jnp.ndarray, jnp.ndarray]:
-        graph, m = shard_graph(store, mesh, train=True, axis=axis)
-        n_shards = mesh.shape[axis]
-        fold_ids, fold_w = shard_fold(store.folds["train"], n_shards, m)
-        steps_per_epoch = max(1, len(store.folds["train"]) // config.batch_size)
+        graph, m, steps_per_epoch, fold_ids_d, fold_w_d = cls._sharded_inputs(
+            store, config, mesh, axis
+        )
         model = build_model(config, store.n_nodes, max(store.n_classes, 2))
         trainer = cls(model, config, unsup, mesh, m, steps_per_epoch,
                       n_real_nodes=store.n_nodes, axis=axis)
-        sh = NamedSharding(mesh, P(axis))
-        fold_ids_d = jax.device_put(jnp.asarray(fold_ids, jnp.int32), sh)
-        fold_w_d = jax.device_put(jnp.asarray(fold_w), sh)
         return trainer, graph, fold_ids_d, fold_w_d
 
     def neg_logits(self, store: GraphStore) -> Optional[jnp.ndarray]:
@@ -112,29 +100,7 @@ class PartitionedUnsupervisedTrainer:
             jnp.asarray(logits, jnp.float32), NamedSharding(self.mesh, P())
         )
 
-    def init_state(self, feat_dim: int, key: Optional[jax.Array] = None) -> TrainState:
-        if key is None:
-            key = jax.random.key(self.config.seed)
-        fanouts = self.model.fanouts(train=True)
-        b = 8
-        levels = [jnp.zeros((b,), jnp.int32)]
-        feats = [jnp.zeros((b, feat_dim))]
-        for f in fanouts:
-            levels.append(jnp.zeros((levels[-1].shape[0] * f,), jnp.int32))
-            feats.append(jnp.zeros((levels[-1].shape[0], feat_dim)))
-        rep = NamedSharding(self.mesh, P())
-
-        def make(k):
-            k, init_key, state_key = jax.random.split(k, 3)
-            params = self.model.init(
-                init_key, levels, feats, method=self.model.forward_gathered
-            )
-            return TrainState(
-                params=params, opt_state=self.tx.init(params),
-                step=jnp.zeros((), jnp.int32), key=state_key,
-            )
-
-        return jax.jit(make, out_shardings=rep)(key)
+    # init_state inherited from PartitionedTrainer (replicated jit placement)
 
     # -- the sharded epoch ---------------------------------------------------
 
@@ -148,20 +114,30 @@ class PartitionedUnsupervisedTrainer:
         wl = self.unsup.walk_length
         q = self.unsup.n_negatives
         n_real = self.n_real_nodes
+        perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
 
         def shard_epoch(params, opt_state, step0, key, adj, deg, feats,
                         fold_ids, fold_w, neg_logits):
             my = lax.axis_index(axis)
             adj_deg = jnp.concatenate([adj, deg[:, None]], axis=1)
             w = fold_w[0]
+            count = fold_w[0]
+            L = fold_ids.shape[1]
+            perm0 = epoch_perm(perm_base, step0 // spe, my, L, count)
 
             def body(carry, _):
-                params, opt_state, step = carry
+                params, opt_state, step, perm = carry
+                t = step % spe
+                perm = lax.cond(
+                    t == 0,
+                    lambda p: epoch_perm(perm_base, step // spe, my, L, count),
+                    lambda p: p,
+                    perm,
+                )
                 k = jax.random.fold_in(jax.random.fold_in(key, step), my)
                 k_walk, k_neg, k_tree = jax.random.split(k, 3)
 
-                ids = epoch_batch_ids(key, step, fold_ids[0], fold_w[0],
-                                      bps, spe, my)
+                ids = perm_batch(perm, fold_ids[0], count, t, bps)
                 # positives: wl one-hop halo-sampled hops
                 pos = ids
                 for hop_key in jax.random.split(k_walk, wl):
@@ -205,10 +181,10 @@ class PartitionedUnsupervisedTrainer:
                 grads = lax.psum(grads, axis)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state, step + 1), loss
+                return (params, opt_state, step + 1, perm), loss
 
-            (params, opt_state, step), losses = lax.scan(
-                body, (params, opt_state, step0), None, length=n_steps
+            (params, opt_state, step, _), losses = lax.scan(
+                body, (params, opt_state, step0, perm0), None, length=n_steps
             )
             return params, opt_state, step, losses.mean()
 
@@ -363,19 +339,15 @@ def fit_unsupervised_partitioned(
 
         mesh = make_mesh()
 
+    from tpu_sage.train.checkpoint import maybe_checkpoint, resume_state
+
     trainer, graph, fold_ids, fold_w = PartitionedUnsupervisedTrainer.from_store(
         store, config, unsup, mesh
     )
     neg_logits = trainer.neg_logits(store)
     state = trainer.init_state(feat_dim=store.feat_dim)
-    start_epoch = 0
-    if resume_from and os.path.exists(resume_from):
-        from tpu_sage.train.checkpoint import load_checkpoint
-
-        state = load_checkpoint(resume_from, state)
-        start_epoch = int(state.step) // trainer.steps_per_epoch
-        log({"resumed_from": resume_from, "step": int(state.step),
-             "start_epoch": start_epoch})
+    state, start_epoch = resume_state(state, resume_from,
+                                      trainer.steps_per_epoch, log)
 
     history = []
     for epoch in range(start_epoch, config.epochs):
@@ -387,12 +359,5 @@ def fit_unsupervised_partitioned(
                "n_shards": trainer.n_shards}
         history.append(rec)
         log(rec)
-        if (
-            checkpoint_every > 0 and resume_from
-            and (epoch + 1) % checkpoint_every == 0
-        ):
-            from tpu_sage.train.checkpoint import save_checkpoint
-
-            save_checkpoint(resume_from, state)
-            log({"checkpoint": resume_from, "step": int(state.step)})
+        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log)
     return trainer, state, history

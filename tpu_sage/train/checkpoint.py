@@ -46,6 +46,32 @@ def save_checkpoint(path: str, state: TrainState) -> None:
     os.replace(tmp, path)
 
 
+def resume_state(state: TrainState, resume_from, steps_per_epoch: int, log):
+    """Shared resume step for every fit loop: if ``resume_from`` exists, load
+    it and compute the epoch to restart at (the epoch AFTER the checkpointed
+    step). Returns ``(state, start_epoch)``."""
+    if resume_from and os.path.exists(resume_from):
+        state = load_checkpoint(resume_from, state)
+        start_epoch = int(state.step) // steps_per_epoch
+        log({"resumed_from": resume_from, "step": int(state.step),
+             "start_epoch": start_epoch})
+        return state, start_epoch
+    return state, 0
+
+
+def maybe_checkpoint(state: TrainState, resume_from, checkpoint_every: int,
+                     epoch: int, log) -> None:
+    """Shared periodic-save step: write ``resume_from`` every
+    ``checkpoint_every`` epochs (SURVEY.md §5.4 "every N steps and at end";
+    the product step unit is the scanned epoch)."""
+    if (
+        checkpoint_every > 0 and resume_from
+        and (epoch + 1) % checkpoint_every == 0
+    ):
+        save_checkpoint(resume_from, state)
+        log({"checkpoint": resume_from, "step": int(state.step)})
+
+
 def load_checkpoint(path: str, template: TrainState) -> TrainState:
     """Restore into the shape of ``template`` (same model/optimizer config)."""
     with np.load(path) as data:

@@ -399,15 +399,10 @@ def fit(
 
     graph_train = problem.device_graph(train=True, csr=csr)
     graph_full = problem.device_graph(train=False, csr=csr)
-    state = trainer.init_state(graph_train)
-    start_epoch = 0
-    if resume_from and os.path.exists(resume_from):
-        from tpu_sage.train.checkpoint import load_checkpoint
+    from tpu_sage.train.checkpoint import maybe_checkpoint, resume_state
 
-        state = load_checkpoint(resume_from, state)
-        start_epoch = int(state.step) // steps_per_epoch
-        log({"resumed_from": resume_from, "step": int(state.step),
-             "start_epoch": start_epoch})
+    state = trainer.init_state(graph_train)
+    state, start_epoch = resume_state(state, resume_from, steps_per_epoch, log)
 
     fold_ids = jnp.asarray(train_ids, jnp.int32)
     fold_targets = jnp.asarray(problem.store.targets[train_ids])
@@ -460,14 +455,7 @@ def fit(
             rec = validate(rec)
         history.append(rec)
         log(rec)
-        if (
-            checkpoint_every > 0 and resume_from
-            and (epoch + 1) % checkpoint_every == 0
-        ):
-            from tpu_sage.train.checkpoint import save_checkpoint
-
-            save_checkpoint(resume_from, state)
-            log({"checkpoint": resume_from, "step": int(state.step)})
+        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log)
 
     test_ids = problem.folds.get("test", np.array([], dtype=np.int64))
     if eval_every_epoch and len(test_ids):

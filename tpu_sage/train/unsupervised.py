@@ -221,8 +221,13 @@ def fit_unsupervised(
     unsup: Optional[UnsupConfig] = None,
     log=None,
     walks: Optional[np.ndarray] = None,
+    resume_from: Optional[str] = None,
+    checkpoint_every: int = 0,
 ) -> Tuple[UnsupervisedTrainer, TrainState, list]:
-    """Epoch loop over all train-fold nodes with the NCE objective."""
+    """Epoch loop over all train-fold nodes with the NCE objective.
+
+    ``resume_from``/``checkpoint_every``: same periodic-checkpoint +
+    exact-epoch-resume contract as ``fit`` (SURVEY.md §5.4)."""
     import json as _json
     import time
 
@@ -249,13 +254,17 @@ def fit_unsupervised(
         )
     walks_d = None if walks is None else jnp.asarray(walks, jnp.int32)
 
+    from tpu_sage.train.checkpoint import maybe_checkpoint, resume_state
+
+    state, start_epoch = resume_state(state, resume_from, steps_per_epoch, log)
     node_ids = jnp.asarray(train_ids, jnp.int32)
     history = []
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         state, m = trainer.train_epoch(state, graph, node_ids, walks_d)
         rec = {"epoch": epoch, "unsup_loss": float(m["loss"]),
                "elapsed": round(time.time() - t0, 4)}
         history.append(rec)
         log(rec)
+        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log)
     return trainer, state, history
