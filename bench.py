@@ -65,6 +65,7 @@ def main():
     graph = problem.device_graph(
         train=True,
         dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32,
+        csr=os.environ.get("BENCH_CSR", "0") == "1",
     )
     state = trainer.init_state(graph)
 
