@@ -12,8 +12,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# (sys.path, not PYTHONPATH: the env var interferes with axon PJRT plugin
+# discovery at interpreter start)
 
 
 def main(argv=None):
