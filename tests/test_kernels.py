@@ -39,6 +39,31 @@ def test_mean_project_forward_and_grads():
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-4, atol=1e-5)
 
 
+def test_gather_rows_matches_take():
+    from tpu_sage.kernels.gather import gather_rows
+
+    rng = np.random.default_rng(2)
+    for n, d, q, bq in [(1000, 128, 700, 128), (500, 384, 64, 64), (300, 301, 10, 8)]:
+        table = jnp.asarray(rng.integers(0, 2**31 - 1, (n, d)), jnp.int32)
+        ids = jnp.asarray(rng.integers(0, n, q), jnp.int32)
+        out = gather_rows(table, ids, block_q=bq, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(table)[np.asarray(ids)]
+        )
+
+
+def test_gather_rows_bf16_view_matches_take():
+    from tpu_sage.kernels.gather import gather_rows_bf16
+
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.standard_normal((400, 602)), jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, 400, 90), jnp.int32)
+    out = gather_rows_bf16(table, ids, block_q=32, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(table)[np.asarray(ids)]
+    )
+
+
 def test_probe_on_cpu_interpret():
     """The probe() helper itself must not crash (may return False on CPU)."""
     from tpu_sage import kernels
