@@ -8,10 +8,12 @@ ids — on skewed-degree graphs with a high ``max_degree`` cap that is a
 multi-× HBM saving, at the cost of an element gather per hop (B·fanout
 random loads from the flat ``indices`` array).
 
-Tradeoff, measured on v5e (STATUS.md perf log): element gathers are
-latency-bound (~0.6 ms/call) and the padded-table row-gather + one-hot
-column select is the throughput-optimal default. Use CSR when the padded
-table doesn't fit: ``problem.h5`` graphs with ``max_degree`` ≫ mean degree.
+Tradeoff, measured on v5e (STATUS.md perf log): TPU gathers pay a per-row
+descriptor cost (~10 ns/row — RESULTS.md "Efficiency analysis"), so the
+element gather per hop (B·fanout rows of 4 B) loses to the padded-table
+row-gather + one-hot column select, which is the throughput-optimal
+default (21.8M vs 32.6M edges/s end to end). Use CSR when the padded table
+doesn't fit: ``problem.h5`` graphs with ``max_degree`` ≫ mean degree.
 
 Sampling semantics are IDENTICAL to the dense sampler: uniform with
 replacement over the true neighbors, degree-0 nodes self-loop.

@@ -87,9 +87,11 @@ def sample_tree(
 def pack_adjacency(adj: jnp.ndarray, degrees: jnp.ndarray) -> jnp.ndarray:
     """``(n, max_degree+1)`` int32: adjacency row ‖ degree.
 
-    On this TPU generation a gather costs ~0.6 ms per CALL regardless of
-    table/query size (measured), so the hot path packs degree into the
-    adjacency row — one gather per sampling hop instead of two."""
+    Packs degree into the adjacency row so each sampling hop issues one row
+    gather instead of two. (Round-2b note: gathers cost ~10 ns/row +
+    ~5 ns/KB — the earlier "0.6 ms per call" reading was dispatch tax, see
+    RESULTS.md "Efficiency analysis" — so at these query counts the packed
+    and unpacked forms measure the same; kept as an option.)"""
     return jnp.concatenate([adj, degrees[:, None]], axis=1)
 
 

@@ -258,8 +258,9 @@ class Trainer:
         # "Optimizations" that looked obvious were slower: packing degrees
         # into the adjacency + one concatenated feature gather = 5.39 ms/step;
         # pre-sampling the whole epoch before the scan = 5.51 ms/step; this
-        # form = 4.31 ms/step. Gather cost here is latency (~0.6 ms/stage,
-        # size-independent), so parallelism beats call-merging.
+        # form = 4.31 ms/step. Gathers pay ~10 ns/row + ~5 ns/KB (RESULTS.md
+        # "Efficiency analysis"), and XLA hides the backward pass under the
+        # next iteration's gathers — keeping ops separate preserves that.
         def body(carry, batch):
             st = carry
             ids, targets = batch
