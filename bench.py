@@ -66,6 +66,7 @@ def main():
         train=True,
         dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32,
         csr=os.environ.get("BENCH_CSR", "0") == "1",
+        quantize=os.environ.get("BENCH_INT8", "0") == "1",
     )
     state = trainer.init_state(graph)
 

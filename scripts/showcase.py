@@ -28,6 +28,9 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--check-features-insufficient", action="store_true")
+    ap.add_argument("--feature-int8", action="store_true",
+                    help="int8 feature table (quality check for the lossy "
+                         "storage option)")
     args = ap.parse_args(argv)
 
     from tpu_sage.data.problem import NodeProblem
@@ -61,6 +64,7 @@ def main(argv=None):
         epochs=args.epochs,
         lr_init=0.01,
         compute_dtype=args.compute_dtype,
+        feature_int8=args.feature_int8,
     )
     t0 = time.time()
     _, _, hist = fit(problem, config)
@@ -75,6 +79,7 @@ def main(argv=None):
         "steady_state_edges_per_sec": round(edges_s, 1),
         "epochs": args.epochs,
         "n_nodes": args.nodes,
+        "feature_int8": args.feature_int8,
     }), flush=True)
     return 0
 

@@ -80,6 +80,10 @@ def parse_args(argv=None):
                     help="store the adjacency as CSR on device (nnz ids "
                          "instead of n*max_degree — memory-lean; single-device "
                          "supervised path)")
+    ap.add_argument("--feature-int8", action="store_true",
+                    help="store node features int8 with per-column scales "
+                         "(halves the resident table and gathered bytes; "
+                         "lossy — single-device paths)")
     ap.add_argument("--unsupervised", action="store_true",
                     help="train with the skip-gram negative-sampling objective "
                          "instead of the supervised head")
@@ -188,6 +192,8 @@ def main(argv=None):
         flag_values["halo_capacity_factor"] = args.halo_capacity_factor
     if args.fuse_first_layer:
         flag_values["fuse_first_layer"] = True
+    if args.feature_int8:
+        flag_values["feature_int8"] = True
     if args.config:
         # preset json is the base; flags PRESENT ON THE COMMAND LINE override
         # it (detected from raw argv so passing a flag's default value still
@@ -217,6 +223,8 @@ def main(argv=None):
             overrides["halo_capacity_factor"] = args.halo_capacity_factor
         if args.fuse_first_layer:
             overrides["fuse_first_layer"] = True
+        if args.feature_int8:
+            overrides["feature_int8"] = True
         config = config.replace(**overrides)
     else:
         config = TrainConfig(**flag_values)
@@ -245,6 +253,12 @@ def main(argv=None):
         # to avoid
         print("error: --csr-adjacency currently supports the single-device "
               "supervised path only", file=sys.stderr)
+        return 2
+    if args.feature_int8 and args.partitioned:
+        # the halo exchange ships shard feature rows; int8 payloads there are
+        # a separate change — reject rather than silently train dense
+        print("error: --feature-int8 currently supports the single-device "
+              "paths only", file=sys.stderr)
         return 2
     if args.partitioned and args.unsupervised:
         from tpu_sage.dist.unsupervised import fit_unsupervised_partitioned

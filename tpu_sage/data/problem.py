@@ -125,20 +125,24 @@ class NodeProblem:
 
     # -- device access -----------------------------------------------------
 
-    def device_graph(self, train: bool, dtype=None, csr: bool = False) -> DeviceGraph:
+    def device_graph(
+        self, train: bool, dtype=None, csr: bool = False, quantize: bool = False
+    ) -> DeviceGraph:
         """Upload (once, cached) the train-edge or full-edge graph.
 
         ``dtype``: feature dtype on device (e.g. ``jnp.bfloat16`` halves the
         dominant HBM gather traffic; default float32). ``csr=True`` uploads
         CSR storage (``nnz`` ids instead of ``n·max_degree`` — the memory-lean
-        option; sampling tradeoff in ``tpu_sage.sample.csr``)."""
+        option; sampling tradeoff in ``tpu_sage.sample.csr``).
+        ``quantize=True`` stores features int8 with per-column scales
+        (``tpu_sage.data.quantize`` — halves table + gather bytes again)."""
         import jax.numpy as jnp
 
-        key = (train, str(dtype), csr)
+        key = (train, str(dtype), csr, quantize)
         if key not in self._device_graphs:
             to_dev = self.store.to_device_csr if csr else self.store.to_device
             self._device_graphs[key] = to_dev(
-                train=train, dtype=dtype or jnp.float32
+                train=train, dtype=dtype or jnp.float32, quantize=quantize
             )
         return self._device_graphs[key]
 

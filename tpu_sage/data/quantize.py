@@ -1,0 +1,78 @@
+"""int8 feature-table storage with per-column symmetric scales.
+
+Production-scale graphs are feature-HBM-bound: the Reddit-shaped bench moves
+~170 MB of gathered bf16 feature rows per step, and the gather pays
+~5 ns/KB on top of its ~10 ns/row floor (RESULTS.md "Efficiency analysis").
+Storing the table int8 halves both the resident table (280 -> 140 MB at
+Reddit scale) and every gathered byte; dequantization is one fused
+multiply on the gathered rows.
+
+Quantization is symmetric per COLUMN (feature dimension): column scales are
+a tiny replicated ``(d,)`` vector, so the gather stays a single int8 row
+fetch — no per-row scale lookup (which would itself pay the per-row gather
+floor).
+
+``QuantizedFeats`` duck-types the feature table: ``qf[ids]`` returns
+dequantized rows in the compute dtype and ``.shape``/``.dtype`` match the
+dense table, so the model, trainer, and unsupervised paths consume it
+unchanged (they only ever do ``feats[ids]`` — nn/model.py:126).
+
+Beyond-reference capability: the reference (bkj/pytorch-graphsage,
+problem.py — mount empty at survey time, SURVEY.md §0) keeps float32
+features resident on the GPU with no compression option.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class QuantizedFeats:
+    """int8 feature rows + per-column scales; indexes like a dense table."""
+
+    q: jnp.ndarray        # (n, d) int8
+    scale: jnp.ndarray    # (d,) float32 — symmetric per-column scale
+    out_dtype: str = struct.field(pytree_node=False, default="bfloat16")
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def ndim(self) -> int:
+        return self.q.ndim
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.out_dtype)
+
+    def __getitem__(self, idx) -> jnp.ndarray:
+        rows = self.q[idx]
+        dt = jnp.dtype(self.out_dtype)
+        return rows.astype(dt) * self.scale.astype(dt)
+
+    def dequantize(self) -> jnp.ndarray:
+        """The full dense table (for full-graph inference/export)."""
+        return self[...]
+
+
+def quantize_feats(
+    feats: np.ndarray, out_dtype: str = "bfloat16"
+) -> QuantizedFeats:
+    """Host-side: float features -> int8 table + per-column scales.
+
+    ``scale[j] = max|feats[:, j]| / 127`` (1.0 for all-zero columns);
+    values round to the nearest step, so per-element error is bounded by
+    ``scale[j] / 2``.
+    """
+    feats = np.asarray(feats, dtype=np.float32)
+    absmax = np.abs(feats).max(axis=0)
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.rint(feats / scale), -127, 127).astype(np.int8)
+    return QuantizedFeats(
+        q=jnp.asarray(q), scale=jnp.asarray(scale), out_dtype=out_dtype
+    )

@@ -170,7 +170,9 @@ class GraphStore:
     def feat_dim(self) -> int:
         return self.feats.shape[1]
 
-    def to_device(self, train: bool, dtype=jnp.float32) -> DeviceGraph:
+    def to_device(
+        self, train: bool, dtype=jnp.float32, quantize: bool = False
+    ) -> DeviceGraph:
         adj = self.train_adj if train else self.adj
         deg = self.train_degrees if train else self.degrees
         if self.task == "classification":
@@ -180,11 +182,21 @@ class GraphStore:
         return DeviceGraph(
             adj=jnp.asarray(adj, dtype=jnp.int32),
             degrees=jnp.asarray(deg, dtype=jnp.int32),
-            feats=jnp.asarray(self.feats, dtype=dtype),
+            feats=self._device_feats(dtype, quantize),
             targets=targets,
         )
 
-    def to_device_csr(self, train: bool, dtype=jnp.float32) -> CSRDeviceGraph:
+    def _device_feats(self, dtype, quantize: bool):
+        """Dense upload, or int8 + per-column scales (``--feature-int8``)."""
+        if not quantize:
+            return jnp.asarray(self.feats, dtype=dtype)
+        from tpu_sage.data.quantize import quantize_feats
+
+        return quantize_feats(self.feats, out_dtype=jnp.dtype(dtype).name)
+
+    def to_device_csr(
+        self, train: bool, dtype=jnp.float32, quantize: bool = False
+    ) -> CSRDeviceGraph:
         """CSR upload: ``nnz`` ids in HBM instead of ``n·max_degree``."""
         from tpu_sage.sample.csr import csr_from_padded
 
@@ -199,6 +211,6 @@ class GraphStore:
             indptr=jnp.asarray(indptr, dtype=jnp.int32),
             indices=jnp.asarray(indices, dtype=jnp.int32),
             degrees=jnp.asarray(deg, dtype=jnp.int32),
-            feats=jnp.asarray(self.feats, dtype=dtype),
+            feats=self._device_feats(dtype, quantize),
             targets=targets,
         )

@@ -112,6 +112,8 @@ def _combine_with_params(model, layer_idx, sub, h_self, summary, agg_name):
 @partial(jax.jit, static_argnums=(0, 3, 4))
 def _embed_jit(model, params, graph, chunk, with_head):
     h = graph.feats
+    if hasattr(h, "dequantize"):  # int8 table: layerwise matmuls need dense
+        h = h.dequantize()
     if model.prep_class == "linear":
         h = _dense({"params": params["params"]["prep"]}, "fc", h)
     elif model.prep_class == "node_embedding":

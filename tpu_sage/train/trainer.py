@@ -72,6 +72,9 @@ class TrainConfig:
     embedding_dim: int = 64
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic on the MXU path
+    feature_int8: bool = False  # int8 feature table + per-column scales
+    # (halves the resident table AND the dominant gather bytes again —
+    # tpu_sage/data/quantize.py; lossy: per-element error ≤ column scale/2)
     fuse_first_layer: bool = False  # whole-table projection trick (mean+identity)
     halo: str = "exact"  # partitioned-path gather: "exact" | "ring" | "bucketed"
     halo_capacity_factor: float = 2.0  # bucketed capacity = factor*q/n_shards
@@ -398,8 +401,12 @@ def fit(
     model = build_model(config, problem.n_nodes, problem.n_classes)
     trainer = Trainer(model, config, steps_per_epoch, task=problem.task)
 
-    graph_train = problem.device_graph(train=True, csr=csr)
-    graph_full = problem.device_graph(train=False, csr=csr)
+    graph_train = problem.device_graph(
+        train=True, csr=csr, quantize=config.feature_int8
+    )
+    graph_full = problem.device_graph(
+        train=False, csr=csr, quantize=config.feature_int8
+    )
     from tpu_sage.train.checkpoint import maybe_checkpoint, resume_state
 
     state = trainer.init_state(graph_train)

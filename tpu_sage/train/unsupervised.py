@@ -240,7 +240,7 @@ def fit_unsupervised(
     steps_per_epoch = max(1, len(train_ids) // config.batch_size)
     model = build_model(config, problem.n_nodes, max(problem.n_classes, 2))
     trainer = UnsupervisedTrainer(model, config, unsup, steps_per_epoch)
-    graph = problem.device_graph(train=True)
+    graph = problem.device_graph(train=True, quantize=config.feature_int8)
     state = trainer.init_state(graph)
     if walks is None:
         walks = getattr(problem, "walks", None)
