@@ -52,6 +52,10 @@ graph = DeviceGraph(
     degrees=put(arrays["degrees"], np.int32),
     feats=put(arrays["feats"], np.float32),
     targets=put(arrays["targets"], np.int32),
+    # replicated dequant scales (ones: feats stored dense) — the partitioned
+    # step's shard_map signature always carries feat_scale
+    feat_scale=jax.device_put(jnp.ones((arrays["feats"].shape[1],), jnp.float32),
+                              NamedSharding(mesh, P())),
 )
 fold_ids_d = put(fold_ids, np.int32)
 fold_w_d = put(fold_w, np.float32)

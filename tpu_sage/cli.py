@@ -254,12 +254,6 @@ def main(argv=None):
         print("error: --csr-adjacency currently supports the single-device "
               "supervised path only", file=sys.stderr)
         return 2
-    if args.feature_int8 and args.partitioned:
-        # the halo exchange ships shard feature rows; int8 payloads there are
-        # a separate change — reject rather than silently train dense
-        print("error: --feature-int8 currently supports the single-device "
-              "paths only", file=sys.stderr)
-        return 2
     if args.partitioned and args.unsupervised:
         from tpu_sage.dist.unsupervised import fit_unsupervised_partitioned
         from tpu_sage.train.unsupervised import UnsupConfig

@@ -60,10 +60,8 @@ class QuantizedFeats:
         return self[...]
 
 
-def quantize_feats(
-    feats: np.ndarray, out_dtype: str = "bfloat16"
-) -> QuantizedFeats:
-    """Host-side: float features -> int8 table + per-column scales.
+def quantize_np(feats: np.ndarray):
+    """Host-side: float features -> ``(q int8, scale float32)`` numpy pair.
 
     ``scale[j] = max|feats[:, j]| / 127`` (1.0 for all-zero columns);
     values round to the nearest step, so per-element error is bounded by
@@ -73,6 +71,14 @@ def quantize_feats(
     absmax = np.abs(feats).max(axis=0)
     scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
     q = np.clip(np.rint(feats / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def quantize_feats(
+    feats: np.ndarray, out_dtype: str = "bfloat16"
+) -> QuantizedFeats:
+    """Host-side: float features -> device int8 table + per-column scales."""
+    q, scale = quantize_np(feats)
     return QuantizedFeats(
         q=jnp.asarray(q), scale=jnp.asarray(scale), out_dtype=out_dtype
     )

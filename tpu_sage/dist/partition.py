@@ -124,23 +124,50 @@ def partition_arrays(
 
 
 def shard_graph(
-    store: GraphStore, mesh: Mesh, train: bool, axis: str = "data"
+    store: GraphStore, mesh: Mesh, train: bool, axis: str = "data",
+    feat_dtype=None, quantize: bool = False,
 ) -> Tuple[DeviceGraph, int]:
     """Upload a node-sharded DeviceGraph: every per-node array sharded on
-    axis 0 over ``axis``. Returns (graph, shard_size)."""
+    axis 0 over ``axis``. Returns (graph, shard_size).
+
+    ``feat_dtype``: on-device dtype for dense feature shards (e.g. bf16 —
+    halves halo-exchange bytes; default float32). ``quantize=True`` stores
+    the feature shards int8 with a replicated per-column scale vector in
+    ``graph.feat_scale`` — the halo exchange then ships int8 rows (4× fewer
+    ICI bytes than f32, 2× than bf16) and requesters dequantize after the
+    gather (dist/train.py). ``graph.feat_scale`` is ALWAYS set on the
+    partitioned path (ones for dense storage, so the shard_map signatures
+    stay uniform; ``x * 1.0`` is bitwise-exact in IEEE float)."""
     n_shards = mesh.shape[axis]
     arrays, m = partition_arrays(store, n_shards, train)
     sharding = NamedSharding(mesh, P(axis))
     put = lambda x: jax.device_put(jnp.asarray(x), sharding)
+    rep = NamedSharding(mesh, P())
+    if quantize:
+        from tpu_sage.data.quantize import quantize_np
+
+        q, scale = quantize_np(arrays["feats"])
+        feats_dev = put(q)
+        feat_scale = jax.device_put(
+            jnp.asarray(scale, dtype=feat_dtype or jnp.float32), rep
+        )
+    else:
+        feats_dev = put(
+            jnp.asarray(arrays["feats"], dtype=feat_dtype or jnp.float32)
+        )
+        feat_scale = jax.device_put(
+            jnp.ones((feats_dev.shape[1],), feats_dev.dtype), rep
+        )
     graph = DeviceGraph(
         adj=put(arrays["adj"]),
         degrees=put(arrays["degrees"]),
-        feats=put(arrays["feats"]),
+        feats=feats_dev,
         targets=put(
             arrays["targets"].astype(
                 np.int32 if store.task == "classification" else np.float32
             )
         ),
+        feat_scale=feat_scale,
     )
     return graph, m
 

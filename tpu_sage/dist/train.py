@@ -196,7 +196,15 @@ class PartitionedTrainer:
                         axis: str):
         """Shared sharding front-end: node-sharded graph + fold table.
         Returns ``(graph, shard_size, steps_per_epoch, fold_ids_d, fold_w_d)``."""
-        graph, m = shard_graph(store, mesh, train=True, axis=axis)
+        cd = getattr(config, "compute_dtype", "float32")
+        graph, m = shard_graph(
+            store, mesh, train=True, axis=axis,
+            # match the single-device upload (trainer.py device_graph): dense
+            # feature shards live in the compute dtype, so bf16 configs also
+            # halve the halo-exchange bytes
+            feat_dtype=None if cd == "float32" else cd,
+            quantize=getattr(config, "feature_int8", False),
+        )
         n_shards = mesh.shape[axis]
         fold_ids, fold_w = shard_fold(store.folds["train"], n_shards, m)
         steps_per_epoch = max(1, len(store.folds["train"]) // config.batch_size)
@@ -258,10 +266,11 @@ class PartitionedTrainer:
         spe = self.steps_per_epoch
         perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
 
-        def shard_step(params, opt_state, step, key, adj, deg, feats, targets,
-                       fold_ids, fold_w):
+        def shard_step(params, opt_state, step, key, adj, deg, feats, fscale,
+                       targets, fold_ids, fold_w):
             # locals: adj (m, D), deg (m,), feats (m, F), targets (m, ...),
-            # fold_ids (1, L), fold_w (1,) — fold_w is the true group count
+            # fold_ids (1, L), fold_w (1,) — fold_w is the true group count;
+            # fscale (F,) replicated dequant scales (ones when feats is dense)
             my = lax.axis_index(axis)
             m = adj.shape[0]
             offset = my * m
@@ -274,6 +283,9 @@ class PartitionedTrainer:
             w = fold_w[0]
 
             adj_deg = jnp.concatenate([adj, deg[:, None]], axis=1)
+            # halo-gather raw stored rows (int8 when quantized — 4× fewer
+            # ICI bytes than f32), dequantize at the requester
+            dq = lambda rows: rows.astype(fscale.dtype) * fscale
 
             def fwd(p):
                 levels = [ids]
@@ -284,7 +296,7 @@ class PartitionedTrainer:
                             ks[i], adj_deg, levels[-1], f, axis, gather
                         )
                     )
-                level_feats = [gather(feats, l, axis) for l in levels]
+                level_feats = [dq(gather(feats, l, axis)) for l in levels]
                 logits = model.apply(
                     p, levels, level_feats, method=model.forward_gathered
                 )
@@ -304,7 +316,7 @@ class PartitionedTrainer:
         mapped = shard_map(
             shard_step,
             mesh=self.mesh,
-            in_specs=(rep, rep, rep, rep, shd, shd, shd, shd, shd, shd),
+            in_specs=(rep, rep, rep, rep, shd, shd, shd, rep, shd, shd, shd),
             out_specs=(rep, rep, rep, rep, rep),
             check_vma=False,
         )
@@ -314,8 +326,8 @@ class PartitionedTrainer:
             new_key = jax.random.fold_in(state.key, state.step)
             params, opt_state, step, _, loss = mapped(
                 state.params, state.opt_state, state.step, state.key,
-                graph.adj, graph.degrees, graph.feats, graph.targets,
-                fold_ids, fold_w,
+                graph.adj, graph.degrees, graph.feats, graph.feat_scale,
+                graph.targets, fold_ids, fold_w,
             )
             return (
                 TrainState(params=params, opt_state=opt_state, step=step, key=new_key),
@@ -342,12 +354,13 @@ class PartitionedTrainer:
         spe = self.steps_per_epoch
         perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
 
-        def shard_epoch(params, opt_state, step0, key, adj, deg, feats, targets,
-                        fold_ids, fold_w):
+        def shard_epoch(params, opt_state, step0, key, adj, deg, feats, fscale,
+                        targets, fold_ids, fold_w):
             my = lax.axis_index(axis)
             m = adj.shape[0]
             offset = my * m
             adj_deg = jnp.concatenate([adj, deg[:, None]], axis=1)
+            dq = lambda rows: rows.astype(fscale.dtype) * fscale
             w = fold_w[0]
             count = fold_w[0]
             L = fold_ids.shape[1]
@@ -379,7 +392,7 @@ class PartitionedTrainer:
                                 ks[i], adj_deg, levels[-1], f, axis, gather
                             )
                         )
-                    level_feats = [gather(feats, l, axis) for l in levels]
+                    level_feats = [dq(gather(feats, l, axis)) for l in levels]
                     logits = model.apply(
                         p, levels, level_feats, method=model.forward_gathered
                     )
@@ -402,7 +415,7 @@ class PartitionedTrainer:
         mapped = shard_map(
             shard_epoch,
             mesh=self.mesh,
-            in_specs=(rep, rep, rep, rep, shd, shd, shd, shd, shd, shd),
+            in_specs=(rep, rep, rep, rep, shd, shd, shd, rep, shd, shd, shd),
             out_specs=(rep, rep, rep, rep),
             check_vma=False,
         )
@@ -412,8 +425,8 @@ class PartitionedTrainer:
             new_key = jax.random.fold_in(state.key, state.step)
             params, opt_state, step, loss = mapped(
                 state.params, state.opt_state, state.step, state.key,
-                graph.adj, graph.degrees, graph.feats, graph.targets,
-                fold_ids, fold_w,
+                graph.adj, graph.degrees, graph.feats, graph.feat_scale,
+                graph.targets, fold_ids, fold_w,
             )
             return (
                 TrainState(params=params, opt_state=opt_state, step=step, key=new_key),
@@ -439,12 +452,13 @@ class PartitionedTrainer:
         bps = self.batch_per_shard
         gather = self.gather
 
-        def shard_eval(params, key, adj, deg, feats, targets, ids, mask):
+        def shard_eval(params, key, adj, deg, feats, fscale, targets, ids, mask):
             # ids/mask local: (1, n_chunks, bps); targets local (m, ...)
             my = lax.axis_index(axis)
             m = adj.shape[0]
             offset = my * m
             adj_deg = jnp.concatenate([adj, deg[:, None]], axis=1)
+            dq = lambda rows: rows.astype(fscale.dtype) * fscale
             key = jax.random.fold_in(key, my)
 
             def chunk_stats(k, batch):
@@ -458,7 +472,7 @@ class PartitionedTrainer:
                             ks[i], adj_deg, levels[-1], f, axis, gather
                         )
                     )
-                level_feats = [gather(feats, l, axis) for l in levels]
+                level_feats = [dq(gather(feats, l, axis)) for l in levels]
                 logits = model.apply(
                     params, levels, level_feats, method=model.forward_gathered
                 )
@@ -490,7 +504,7 @@ class PartitionedTrainer:
         mapped = shard_map(
             shard_eval,
             mesh=self.mesh,
-            in_specs=(rep, rep, shd, shd, shd, shd, shd, shd),
+            in_specs=(rep, rep, shd, shd, shd, rep, shd, shd, shd),
             out_specs=rep,
             check_vma=False,
         )
@@ -505,8 +519,12 @@ class PartitionedTrainer:
         from tpu_sage.dist.partition import shard_fold_masked
 
         if self._eval_graph is None:
-            self._eval_graph = shard_graph(store, self.mesh, train=False,
-                                           axis=self.axis)
+            cd = getattr(self.config, "compute_dtype", "float32")
+            self._eval_graph = shard_graph(
+                store, self.mesh, train=False, axis=self.axis,
+                feat_dtype=None if cd == "float32" else cd,
+                quantize=getattr(self.config, "feature_int8", False),
+            )
         graph_full, m = self._eval_graph
         ids, mask = shard_fold_masked(
             store.folds[fold], self.n_shards, m, pad_to_multiple=self.batch_per_shard
@@ -523,7 +541,8 @@ class PartitionedTrainer:
         stats = np.asarray(
             self._eval_fn(state.params, jax.random.key(seed),
                           graph_full.adj, graph_full.degrees, graph_full.feats,
-                          graph_full.targets, ids_d, mask_d)
+                          graph_full.feat_scale, graph_full.targets,
+                          ids_d, mask_d)
         )
         if store.task == "classification":
             return float(stats[0] / max(stats[1], 1.0))

@@ -116,10 +116,13 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         n_real = self.n_real_nodes
         perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
 
-        def shard_epoch(params, opt_state, step0, key, adj, deg, feats,
+        def shard_epoch(params, opt_state, step0, key, adj, deg, feats, fscale,
                         fold_ids, fold_w, neg_logits):
             my = lax.axis_index(axis)
             adj_deg = jnp.concatenate([adj, deg[:, None]], axis=1)
+            # dequantize halo-gathered rows at the requester (fscale is ones
+            # when feats is dense — see dist/partition.py shard_graph)
+            dq = lambda rows: rows.astype(fscale.dtype) * fscale
             w = fold_w[0]
             count = fold_w[0]
             L = fold_ids.shape[1]
@@ -165,7 +168,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                                 ks[i], adj_deg, levels[-1], f, axis, gather
                             )
                         )
-                    level_feats = [gather(feats, l, axis) for l in levels]
+                    level_feats = [dq(gather(feats, l, axis)) for l in levels]
                     z = model.apply(
                         p, levels, level_feats, method=model.encode_gathered
                     )
@@ -192,7 +195,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         mapped = shard_map(
             shard_epoch,
             mesh=self.mesh,
-            in_specs=(rep, rep, rep, rep, shd, shd, shd, shd, shd, rep),
+            in_specs=(rep, rep, rep, rep, shd, shd, shd, rep, shd, shd, rep),
             out_specs=(rep, rep, rep, rep),
             check_vma=False,
         )
@@ -203,8 +206,8 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
             new_key = jax.random.fold_in(state.key, state.step)
             params, opt_state, step, loss = mapped(
                 state.params, state.opt_state, state.step, state.key,
-                graph.adj, graph.degrees, graph.feats, fold_ids, fold_w,
-                neg_logits,
+                graph.adj, graph.degrees, graph.feats, graph.feat_scale,
+                fold_ids, fold_w, neg_logits,
             )
             return (
                 TrainState(params=params, opt_state=opt_state, step=step,
@@ -245,10 +248,11 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         bps = self.batch_per_shard
         gather = self.gather
 
-        def shard_embed(params, key, adj, deg, feats, ids):
+        def shard_embed(params, key, adj, deg, feats, fscale, ids):
             # ids local: (1, n_chunks, bps)
             my = lax.axis_index(axis)
             adj_deg = jnp.concatenate([adj, deg[:, None]], axis=1)
+            dq = lambda rows: rows.astype(fscale.dtype) * fscale
             key = jax.random.fold_in(key, my)
 
             def chunk(k, cids):
@@ -261,7 +265,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                             ks[i], adj_deg, levels[-1], f, axis, gather
                         )
                     )
-                level_feats = [gather(feats, l, axis) for l in levels]
+                level_feats = [dq(gather(feats, l, axis)) for l in levels]
                 z = model.apply(
                     params, levels, level_feats, method=model.encode_gathered
                 )
@@ -274,7 +278,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         mapped = shard_map(
             shard_embed,
             mesh=self.mesh,
-            in_specs=(rep, rep, shd, shd, shd, shd),
+            in_specs=(rep, rep, shd, shd, shd, rep, shd),
             out_specs=shd,
             check_vma=False,
         )
@@ -286,8 +290,12 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         the FULL graph (paper's logistic-probe protocol) — aligned with the
         input ``ids`` order."""
         if self._embed_graph is None:
-            self._embed_graph = shard_graph(store, self.mesh, train=False,
-                                            axis=self.axis)
+            cd = getattr(self.config, "compute_dtype", "float32")
+            self._embed_graph = shard_graph(
+                store, self.mesh, train=False, axis=self.axis,
+                feat_dtype=None if cd == "float32" else cd,
+                quantize=getattr(self.config, "feature_int8", False),
+            )
         graph_full, m = self._embed_graph
         tbl, mask = shard_fold_masked(
             ids, self.n_shards, m, pad_to_multiple=self.batch_per_shard
@@ -302,7 +310,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         z = np.asarray(
             self._embed_fn(state.params, jax.random.key(seed),
                            graph_full.adj, graph_full.degrees,
-                           graph_full.feats, tbl_d)
+                           graph_full.feats, graph_full.feat_scale, tbl_d)
         )  # (n_shards, n_chunks, bps, D)
         z = z.reshape(self.n_shards, -1, z.shape[-1])
         # un-shard back to the caller's order: shard_fold_masked groups by

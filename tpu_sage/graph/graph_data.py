@@ -39,8 +39,13 @@ class DeviceGraph:
 
     adj: jnp.ndarray       # (n_nodes, max_degree) int32, padded with self id
     degrees: jnp.ndarray   # (n_nodes,) int32 true degree (0 allowed)
-    feats: jnp.ndarray     # (n_nodes, feat_dim) float
+    feats: jnp.ndarray     # (n_nodes, feat_dim) float — or QuantizedFeats,
+    # or (partitioned int8 path) a raw int8 array with feat_scale set
     targets: jnp.ndarray   # (n_nodes,) int32 or (n_nodes, n_targets) float
+    feat_scale: Optional[jnp.ndarray] = None  # (feat_dim,) per-column dequant
+    # scales — ALWAYS set by dist.partition.shard_graph (real scales for int8
+    # shards, ones for dense, so the shard_map step signatures stay uniform);
+    # None on the single-device path (which duck-types via QuantizedFeats)
 
     @property
     def n_nodes(self) -> int:
