@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 
-def time_partitioned(halo, n_nodes, feat_dim, batch_size, steps, fanouts):
+def time_partitioned(halo, n_nodes, feat_dim, batch_size, steps, fanouts,
+                     feature_int8=False):
     from tpu_sage.data.synthetic import bench_store
     from tpu_sage.dist.mesh import make_mesh
     from tpu_sage.dist.train import PartitionedTrainer
@@ -43,6 +44,7 @@ def time_partitioned(halo, n_nodes, feat_dim, batch_size, steps, fanouts):
     config = TrainConfig(
         batch_size=batch_size, n_train_samples=fanouts, n_val_samples=fanouts,
         output_dims=(128, 128), halo=halo, compute_dtype="bfloat16",
+        feature_int8=feature_int8,
     )
     trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(
         store, config, mesh
@@ -101,26 +103,30 @@ def main(argv=None):
     print(json.dumps({"platform": platform, "n_devices": n_dev}), flush=True)
 
     if platform == "cpu" and n_dev >= 8:
-        for halo in ("exact", "ring", "bucketed"):
+        for halo, int8 in (("exact", False), ("ring", False),
+                           ("bucketed", False), ("exact", True)):
             times = [
                 time_partitioned(halo, args.nodes, args.feat_dim,
-                                 args.batch_size, args.steps, fanouts)[0]
+                                 args.batch_size, args.steps, fanouts,
+                                 feature_int8=int8)[0]
                 for _ in range(args.repeats)
             ]
             print(json.dumps({
-                "mode": f"partitioned_{halo}_8shard",
+                "mode": f"partitioned_{halo}_8shard" + ("_int8" if int8 else ""),
                 "ms_per_step_median": round(sorted(times)[len(times) // 2], 3),
                 "ms_per_step_all": [round(t, 3) for t in times],
             }), flush=True)
     else:
-        for halo in ("exact", "ring"):
+        for halo, int8 in (("exact", False), ("ring", False),
+                           ("exact", True)):
             times = [
                 time_partitioned(halo, args.nodes, args.feat_dim,
-                                 args.batch_size, args.steps, fanouts)[0]
+                                 args.batch_size, args.steps, fanouts,
+                                 feature_int8=int8)[0]
                 for _ in range(args.repeats)
             ]
             print(json.dumps({
-                "mode": f"partitioned_{halo}_1chip",
+                "mode": f"partitioned_{halo}_1chip" + ("_int8" if int8 else ""),
                 "ms_per_step_median": round(sorted(times)[len(times) // 2], 3),
                 "ms_per_step_all": [round(t, 3) for t in times],
             }), flush=True)

@@ -24,7 +24,11 @@ from jax.experimental.pallas import tpu as pltpu
 def _fwd_kernel(x_ref, w_ref, o_ref):
     x = x_ref[:]                                   # (TB, F, D)
     meanx = jnp.mean(x, axis=1)                    # (TB, D) — VMEM only
-    o_ref[:] = jnp.dot(meanx, w_ref[:], preferred_element_type=o_ref.dtype)
+    # MXU accumulation must be 32-bit (Mosaic rejects a bf16 acc); cast the
+    # f32 accumulator down to the output dtype afterwards
+    o_ref[:] = jnp.dot(
+        meanx, w_ref[:], preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
 
 
 def _pallas_forward(x, w, tile_b, interpret):
@@ -49,7 +53,9 @@ def _pallas_forward(x, w, tile_b, interpret):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def mean_project(x, w, tile_b: int = 256, interpret: bool = False):
+def mean_project(x, w, tile_b: int = 128, interpret: bool = False):
+    # tile_b=128: the (TB, F, D) input tile double-buffers in VMEM; 256 blew
+    # the 16M scoped-vmem limit at the Reddit shape (10×602 bf16) on v5e
     return _pallas_forward(x, w, tile_b, interpret)
 
 
