@@ -63,8 +63,9 @@ def test_dist_gather_bucketed_exact_capacity(mesh):
 
 
 def test_dist_gather_bucketed_overflow_masks(mesh):
-    """With capacity 1 and all queries hitting shard 0, overflow rows fall
-    back to zeros and are counted."""
+    """With capacity 1 and all queries hitting shard 0: shard 0's own
+    queries take the LOCAL BYPASS (exact, no capacity charge); each remote
+    shard gets its first query served and the rest overflow to zeros."""
     n, d, q = 64, 8, 4
     table, table_d = _sharded_table(mesh, n, d, seed=4)
     ids = np.zeros((8, q), dtype=np.int32)  # every query wants row 0 (shard 0)
@@ -77,11 +78,13 @@ def test_dist_gather_bucketed_overflow_masks(mesh):
     )(table_d, ids_d)
     out = np.asarray(out).reshape(8, q, d)
     overflow = np.asarray(overflow)
-    # per shard: first query served exactly, remaining q-1 overflow to zeros
-    for s in range(8):
+    # shard 0 owns row 0: all q of its queries are local-bypass exact
+    np.testing.assert_array_equal(out[0], np.broadcast_to(table[0], (q, d)))
+    # remote shards: first query served exactly, remaining q-1 overflow
+    for s in range(1, 8):
         np.testing.assert_array_equal(out[s, 0], table[0])
         assert (out[s, 1:] == 0).all()
-    assert overflow.sum() == 8 * (q - 1)
+    assert overflow.sum() == 7 * (q - 1)
 
 
 def test_partition_arrays_padding():
@@ -357,3 +360,57 @@ def test_partitioned_regression_eval(mesh):
     # training actually regressed toward the targets (MSE well under var(y))
     var = float(np.var(store.targets[store.folds["val"]]))
     assert -hist[-1]["val_metric"] < var, (hist[-1]["val_metric"], var)
+
+
+def test_locality_reorder_cuts_cross_shard_edges(mesh):
+    """BFS locality ordering must substantially reduce the cross-shard edge
+    fraction on a community graph with interleaved natural ids — and the
+    reordered store still trains on the partitioned path."""
+    from tpu_sage.dist.partition import (edge_cut_fraction,
+                                         locality_permutation, reorder_store)
+
+    # strong communities, ids randomly interleaved by sbm_store
+    store = sbm_store(n_nodes=512, n_classes=8, feat_dim=16, avg_degree=6,
+                      p_in=0.95, seed=44)
+    n_shards = 8
+    cut_natural = edge_cut_fraction(store, n_shards)
+    perm = locality_permutation(store.adj, store.degrees)
+    assert sorted(perm.tolist()) == list(range(store.n_nodes))  # permutation
+    store2 = reorder_store(store, perm)
+    cut_local = edge_cut_fraction(store2, n_shards)
+    # interleaved ids put ~7/8 of edges across shards; BFS blocks must
+    # recover most of the community locality
+    assert cut_natural > 0.7, cut_natural
+    assert cut_local < 0.5 * cut_natural, (cut_natural, cut_local)
+
+    # semantics preserved: the reordered store trains and evaluates
+    cfg = TrainConfig(batch_size=64, epochs=1, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32), lr_init=0.01)
+    trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(
+        store2, cfg, mesh)
+    state = trainer.init_state(feat_dim=store2.feat_dim)
+    state, m0 = trainer.train_epoch(state, graph, fold_ids, fold_w, n_steps=25)
+    assert np.isfinite(float(m0["loss"]))
+    assert trainer.evaluate(state, store2, fold="val") > 0.5
+
+
+def test_bucketed_partitioned_training_converges(mesh):
+    """Regression: the bucketed halo used to charge LOCAL queries against
+    capacity, overflowing the (always-local) batch roots to zero features —
+    whose exactly-zero embedding rows then NaN'd the L2-normalize backward.
+    Both fixed (halo local bypass; rsqrt-based safe normalize): bucketed
+    training must converge with finite losses."""
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=6,
+                      seed=21)
+    cfg = TrainConfig(batch_size=64, epochs=1, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32),
+                      lr_init=0.01, halo="bucketed")
+    trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(
+        store, cfg, mesh)
+    state = trainer.init_state(feat_dim=store.feat_dim)
+    losses = []
+    for _ in range(30):
+        state, m = trainer.train_step(state, graph, fold_ids, fold_w)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]

@@ -83,7 +83,12 @@ def parse_args(argv=None):
     ap.add_argument("--feature-int8", action="store_true",
                     help="store node features int8 with per-column scales "
                          "(halves the resident table and gathered bytes; "
-                         "lossy — single-device paths)")
+                         "on --partitioned the halo exchange ships int8 rows)")
+    ap.add_argument("--reorder", default=None, choices=["degree", "locality"],
+                    help="node reordering pass before partitioning: 'degree' "
+                         "balances edges across shards, 'locality' co-locates "
+                         "communities to cut cross-shard halo queries "
+                         "(label propagation; see dist/partition.py)")
     ap.add_argument("--unsupervised", action="store_true",
                     help="train with the skip-gram negative-sampling objective "
                          "instead of the supervised head")
@@ -169,6 +174,29 @@ def main(argv=None):
         problem = NP(store)
     else:
         problem = NodeProblem.from_h5(args.problem_path)
+
+    if args.reorder:
+        import jax
+
+        from tpu_sage.data.problem import NodeProblem as _NP
+        from tpu_sage.dist.partition import (degree_balanced_permutation,
+                                             edge_cut_fraction,
+                                             locality_permutation,
+                                             reorder_store)
+
+        st = problem.store
+        n_shards = max(1, len(jax.devices()))
+        if args.reorder == "degree":
+            perm = degree_balanced_permutation(st.degrees, n_shards)
+        else:
+            perm = locality_permutation(st.adj, st.degrees)
+        st2 = reorder_store(st, perm)
+        print(json.dumps({
+            "reorder": args.reorder,
+            "edge_cut_before": round(edge_cut_fraction(st, n_shards), 4),
+            "edge_cut_after": round(edge_cut_fraction(st2, n_shards), 4),
+        }), flush=True)
+        problem = _NP(st2)
 
     flag_values = {
         "aggregator_class": args.aggregator_class,

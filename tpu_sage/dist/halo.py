@@ -12,13 +12,15 @@ gather (tested on the 8-device CPU mesh):
   shard's queries against the local rows with non-owned rows zeroed, then
   ``psum_scatter`` the partial answers back to the requesters. Exact, two
   collectives, communication ≈ n_dev·q·d — the robust default.
-- ``dist_gather_bucketed``: MoE-style capacity routing — bucket queries by
-  owner shard, ``all_to_all`` only ids to owners (q ints), gather locally,
-  ``all_to_all`` the rows straight back (≈ n_dev·capacity·d total).
-  With ``capacity ≥ q`` it is exact; with smaller capacity, overflowed
-  queries fall back to a caller-provided default row and the overflow count
-  is returned for monitoring (uniform neighbor distributions need
-  capacity ≈ q/n_dev · safety).
+- ``dist_gather_bucketed``: MoE-style capacity routing with a local bypass —
+  locally-owned queries are answered from the local shard (exact, free),
+  REMOTE queries bucket by owner shard, ``all_to_all`` only ids to owners
+  (q ints), gather locally, ``all_to_all`` the rows straight back
+  (≈ n_dev·capacity·d total). With ``capacity ≥`` the max remote queries
+  per destination it is exact; overflowed remote queries fall back to a
+  caller-provided default row and the overflow count is returned for
+  monitoring. A locality-aware partition (``partition.locality_permutation``)
+  shrinks the remote fraction and with it the capacity needed.
 
 Both run inside ``shard_map``; all shapes static; XLA overlaps the second
 collective with surrounding compute where the schedule allows (the
@@ -112,26 +114,48 @@ def dist_gather_bucketed(
     capacity: int,
     fallback_row: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Capacity-routed distributed gather.
+    """Capacity-routed distributed gather with a local bypass.
 
-    Returns ``(rows (q, d), n_overflowed (1,))``. Queries beyond ``capacity``
-    per destination shard receive ``fallback_row`` (zeros if None).
+    Locally-owned queries are answered straight from ``local_table`` —
+    exact, zero communication, no capacity charge. Only REMOTE queries route
+    through the all_to_all buckets, so ``capacity`` bounds remote queries
+    per destination. This matters structurally: batch roots always live on
+    their own shard (the fold is node-sharded), so without the bypass the
+    self-bucket needs ``capacity ≈ q`` while remote buckets need ``q/n``,
+    and root feature rows overflow catastrophically. With a locality-aware
+    partition (``dist.partition.locality_permutation``) most neighbor
+    queries are local too, shrinking the capacity needed for zero overflow
+    to the cross-shard edge fraction.
+
+    Returns ``(rows (q, d), n_overflowed (1,))``. Remote queries beyond
+    ``capacity`` per destination shard receive ``fallback_row`` (zeros if
+    None).
     """
     m = local_table.shape[0]
     q = ids.shape[0]
     offset = shard_offset(axis_name, m)
     owner = jnp.clip(ids // m, 0, n_shards - 1)          # (q,)
+    my = lax.axis_index(axis_name)
+    is_local = owner == my
 
-    # position of each query within its owner's bucket (stable order)
-    onehot = jax.nn.one_hot(owner, n_shards, dtype=jnp.int32)   # (q, n_shards)
+    # local bypass: answer owned queries from the local shard directly
+    local_rows = local_table[jnp.clip(ids - offset, 0, m - 1)]
+
+    # position of each REMOTE query within its owner's bucket (stable order);
+    # local queries are excluded from the buckets entirely
+    onehot = jnp.where(
+        is_local[:, None], 0, jax.nn.one_hot(owner, n_shards, dtype=jnp.int32)
+    )                                                     # (q, n_shards)
     pos = (jnp.cumsum(onehot, axis=0) - onehot)[jnp.arange(q), owner]  # (q,)
-    overflowed = pos >= capacity
+    overflowed = (pos >= capacity) & ~is_local
     n_overflow = overflowed.sum().reshape(1)  # rank-1 so shard_map can stack it
 
-    # scatter ids into the (n_shards, capacity) send buffer; -1 marks empty.
-    # overflowed queries index out of bounds and are dropped by the scatter.
+    # scatter remote ids into the (n_shards, capacity) send buffer; -1 marks
+    # empty. local queries are forced out of bounds and dropped by the
+    # scatter, as are overflowed remote queries.
     send = jnp.full((n_shards, capacity), -1, dtype=ids.dtype)
-    send = send.at[owner, pos].set(ids, mode="drop")
+    pos_send = jnp.where(is_local, capacity, pos)
+    send = send.at[owner, pos_send].set(ids, mode="drop")
 
     # route queries to owners: all_to_all over the shard axis
     recv = lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0, tiled=True)
@@ -158,5 +182,9 @@ def dist_gather_bucketed(
     gathered = jnp.where(
         overflowed.reshape((-1,) + (1,) * (gathered.ndim - 1)),
         fallback_row, gathered,
+    )
+    gathered = jnp.where(
+        is_local.reshape((-1,) + (1,) * (gathered.ndim - 1)),
+        local_rows, gathered,
     )
     return gathered, n_overflow

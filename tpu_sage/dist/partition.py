@@ -9,9 +9,11 @@ reference real nodes.
 
 Ownership is then a pure function of the id (``owner = id // m``) — no lookup
 table to replicate, which is what keeps the halo-exchange routing
-(tpu_sage.dist.halo) a couple of integer ops. A degree-aware reordering pass
-(balance edges, not just nodes) slots in front of this without changing
-anything downstream: :func:`degree_balanced_permutation` + :func:`reorder_store`.
+(tpu_sage.dist.halo) a couple of integer ops. Reordering passes slot in
+front of this without changing anything downstream (compose with
+:func:`reorder_store`): :func:`degree_balanced_permutation` balances edges
+across shards, :func:`locality_permutation` co-locates neighborhoods to cut
+cross-shard halo queries (measured by :func:`edge_cut_fraction`).
 """
 
 from __future__ import annotations
@@ -67,6 +69,81 @@ def degree_balanced_permutation(degrees: np.ndarray, n_shards: int) -> np.ndarra
     )
     # stable bucket the ranked nodes by shard, preserving rank order
     return np.concatenate([order[shard_of_rank == s] for s in range(n_shards)])
+
+
+def _row_mode(v: np.ndarray, invalid: int = -1) -> np.ndarray:
+    """Per-row mode of a ROW-SORTED int matrix, ignoring ``invalid`` entries;
+    ties break to the smallest value (runs are in ascending order, argmax
+    takes the first max). Rows that are all-invalid return ``invalid``."""
+    n, k = v.shape
+    change = np.ones((n, k), dtype=bool)
+    change[:, 1:] = v[:, 1:] != v[:, :-1]
+    run_id = np.cumsum(change, axis=1) - 1            # (n, k) run index
+    counts = np.zeros((n, k), dtype=np.int32)
+    np.add.at(counts, (np.repeat(np.arange(n), k), run_id.ravel()), 1)
+    run_val = np.full((n, k), invalid, dtype=v.dtype)  # value of each run
+    ii, jj = np.nonzero(change)
+    run_val[ii, run_id[ii, jj]] = v[ii, jj]
+    counts = np.where(run_val == invalid, 0, counts)
+    best = np.argmax(counts, axis=1)                  # first-max = smallest val
+    pos = np.argmax(run_id == best[:, None], axis=1)  # start of the best run
+    return np.where(counts[np.arange(n), best] > 0, v[np.arange(n), pos],
+                    invalid)
+
+
+def locality_permutation(
+    adj: np.ndarray, degrees: np.ndarray, sweeps: int = 20
+) -> np.ndarray:
+    """Label-propagation node ordering for partition locality.
+
+    The contiguous range partitioner assigns whatever ids happen to be
+    adjacent in the numbering to the same shard; on graphs whose natural ids
+    interleave communities, most edges cross shards and every crossing edge
+    is halo traffic. Synchronous label propagation (each node adopts the
+    most common label in its closed neighborhood; labels init to node ids,
+    ties to the smallest label — fully deterministic) converges communities
+    to shared labels in a few sweeps; ordering by final label lays each
+    community out contiguously, so the range partition's blocks align with
+    communities and the cross-shard edge fraction (:func:`edge_cut_fraction`
+    — the direct proxy for remote halo queries per hop) drops.
+
+    Pays off in ``bucketed`` halo mode (comm ∝ remote queries, so locality
+    shrinks the capacity needed for zero overflow) and on real ICI for ring
+    topologies; ``exact`` mode's bytes are shape-fixed either way. O(E) host
+    pass per sweep at ETL time, fully vectorized. Returns ``perm`` with
+    ``perm[new_id] = old_id``; compose with :func:`reorder_store` like
+    :func:`degree_balanced_permutation`.
+    """
+    n = len(degrees)
+    deg = degrees.astype(np.int64)
+    labels = np.arange(n, dtype=np.int64)
+    # mask padded adjacency slots (they hold the node's own id — the padding
+    # idiom — and would otherwise flood the vote with "self")
+    valid = np.arange(adj.shape[1])[None, :] < deg[:, None]
+    for _ in range(sweeps):
+        votes = np.concatenate(
+            [np.where(valid, labels[adj], -1), labels[:, None]], axis=1
+        )
+        votes.sort(axis=1)
+        new = _row_mode(votes)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    # contiguous by community; degree-descending inside each community so a
+    # block boundary cutting a community strands its low-degree tail
+    return np.lexsort((-deg, labels))
+
+
+def edge_cut_fraction(store: GraphStore, n_shards: int) -> float:
+    """Fraction of real adjacency entries whose neighbor lives on a different
+    shard under the contiguous range partition — the locality metric
+    :func:`locality_permutation` optimizes (remote halo queries per hop)."""
+    n = store.n_nodes
+    m, _ = pad_to_shards(n, n_shards)
+    owner_row = (np.arange(n) // m)[:, None]
+    valid = np.arange(store.max_degree)[None, :] < store.degrees[:, None]
+    cut = (store.adj // m != owner_row) & valid
+    return float(cut.sum()) / max(int(valid.sum()), 1)
 
 
 def reorder_store(store: GraphStore, perm: np.ndarray) -> GraphStore:

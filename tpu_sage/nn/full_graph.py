@@ -122,7 +122,9 @@ def _embed_jit(model, params, graph, chunk, with_head):
     for layer_idx in range(len(model.layer_specs)):
         h = _layer_full(model, params, layer_idx, h, graph, chunk)
     if model.normalize:
-        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+        from tpu_sage.nn.model import _l2_normalize
+
+        h = _l2_normalize(h)
     if with_head:
         h = _dense(params, "fc", h)
     return h

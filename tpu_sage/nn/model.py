@@ -25,6 +25,23 @@ from tpu_sage.nn.aggregators import aggregator_lookup
 from tpu_sage.nn.preps import prep_lookup
 from tpu_sage.sample.sampler import sample_tree
 
+
+def _l2_normalize(x: jnp.ndarray, eps: float = 1e-24) -> jnp.ndarray:
+    """Row-wise L2 normalization with a NaN-safe BACKWARD at zero rows.
+
+    ``x / max(||x||, eps)`` is safe in the forward but its backward is not:
+    when a row is exactly zero the ``max`` zeroes the norm's cotangent, yet
+    sqrt's local derivative at 0 is inf and ``0 * inf = NaN`` poisons every
+    upstream kernel gradient (hit in practice by bucketed-halo overflow
+    fallback rows, which can make a whole embedding row exactly zero).
+    ``x * rsqrt(sum(x²) + eps)`` has finite derivatives everywhere; the eps
+    is below f32 resolution for any non-degenerate row, so values (and the
+    torch-parity tests) are unchanged, and zero rows map to zero with zero
+    gradient instead of NaN.
+    """
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(sq + eps)
+
 activation_lookup = {
     "relu": nn.relu,
     "elu": nn.elu,
@@ -158,7 +175,7 @@ class GSSupervised(nn.Module):
             ]
         out = h[0]
         if self.normalize:
-            out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+            out = _l2_normalize(out)
         return out
 
     def encode_gathered(
@@ -181,7 +198,7 @@ class GSSupervised(nn.Module):
             h = nxt
         out = h[0]
         if self.normalize:
-            out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+            out = _l2_normalize(out)
         return out
 
     def __call__(self, levels: List[jnp.ndarray], feats: Optional[jnp.ndarray]) -> jnp.ndarray:
