@@ -26,6 +26,8 @@ def _cli_cmd(ckpt):
 
 def _env():
     env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # a host-device-count override would change
+    # the worker's expected device topology
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = (

@@ -54,6 +54,8 @@ def test_two_process_psum_and_divergence_check(tmp_path):
     env = dict(os.environ)
     # env must be set before the worker's interpreter starts (the axon
     # sitecustomize registers the TPU plugin at startup otherwise)
+    env.pop("XLA_FLAGS", None)  # a host-device-count override would change
+    # the worker's expected device topology
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = (
