@@ -55,6 +55,16 @@ class QuantizedFeats:
         dt = jnp.dtype(self.out_dtype)
         return rows.astype(dt) * self.scale.astype(dt)
 
+    def row_gather(self, ids: jnp.ndarray) -> jnp.ndarray:
+        """Fast-lowering gather (tpu_sage.ops): mask the int8 rows, then
+        dequantize — the select lands directly on the gather output, which
+        is what flips XLA's TPU gather emitter to the fast form."""
+        from tpu_sage import ops
+
+        rows = ops.row_gather(self.q, ids)
+        dt = jnp.dtype(self.out_dtype)
+        return rows.astype(dt) * self.scale.astype(dt)
+
     def dequantize(self) -> jnp.ndarray:
         """The full dense table (for full-graph inference/export)."""
         return self[...]

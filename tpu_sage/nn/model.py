@@ -23,6 +23,7 @@ import flax.linen as nn
 
 from tpu_sage.nn.aggregators import aggregator_lookup
 from tpu_sage.nn.preps import prep_lookup
+from tpu_sage.ops import row_gather
 from tpu_sage.sample.sampler import sample_tree
 
 
@@ -140,7 +141,7 @@ class GSSupervised(nn.Module):
             and len(self.layer_specs) >= 1
         ):
             return self._encode_fused(levels, feats)
-        gathered = [None if feats is None else feats[ids] for ids in levels]
+        gathered = [None if feats is None else row_gather(feats, ids) for ids in levels]
         return self.encode_gathered(levels, gathered)
 
     def _encode_fused(self, levels: List[jnp.ndarray], feats: jnp.ndarray) -> jnp.ndarray:

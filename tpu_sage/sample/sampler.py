@@ -18,6 +18,8 @@ from typing import List, Sequence
 import jax
 import jax.numpy as jnp
 
+from tpu_sage.ops import row_gather
+
 
 def uniform_neighbor_sample(
     key: jax.Array,
@@ -39,11 +41,11 @@ def uniform_neighbor_sample(
       ``(B, n_samples)`` int32 neighbor ids.
     """
     ids = ids.astype(jnp.int32)
-    deg = jnp.maximum(degrees[ids], 1)  # degree-0 -> draw col 0 == self pad
+    deg = jnp.maximum(row_gather(degrees, ids), 1)  # degree-0 -> col 0 == self pad
     u = jax.random.uniform(key, (ids.shape[0], n_samples))
     # floor(u * deg) in [0, deg); guard the u==1.0-epsilon edge with a min.
     cols = jnp.minimum((u * deg[:, None].astype(u.dtype)).astype(jnp.int32), deg[:, None] - 1)
-    rows = adj[ids]  # (B, max_degree) — ROW gather: contiguous 512B+ reads
+    rows = row_gather(adj, ids)  # (B, max_degree) — contiguous 512B+ row reads
     return select_columns(rows, cols)
 
 
@@ -110,7 +112,7 @@ def sample_tree_packed(
     for fanout in fanouts:
         key, sub = jax.random.split(key)
         cur = levels[-1]
-        rows = adj_deg[cur]                           # ONE gather: adj ‖ deg
+        rows = row_gather(adj_deg, cur)               # ONE gather: adj ‖ deg
         r_adj, deg = rows[:, :-1], jnp.maximum(rows[:, -1], 1)
         u = jax.random.uniform(sub, (cur.shape[0], fanout))
         cols = jnp.minimum(
@@ -124,7 +126,7 @@ def gather_levels(feats: jnp.ndarray, levels: List[jnp.ndarray]) -> List[jnp.nda
     """Feature rows for every tree level in ONE gather call (per-call-cost
     amortization; see ``pack_adjacency``)."""
     sizes = [l.shape[0] for l in levels]
-    all_rows = feats[jnp.concatenate(levels)]
+    all_rows = row_gather(feats, jnp.concatenate(levels))
     out, off = [], 0
     for s in sizes:
         out.append(all_rows[off : off + s])

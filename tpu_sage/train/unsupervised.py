@@ -134,7 +134,9 @@ class UnsupervisedTrainer:
             kw1, kw2 = jax.random.split(k_walk)
             wi = jax.random.randint(kw1, (b,), 0, walks.shape[1])
             pi = jax.random.randint(kw2, (b,), 1, walks.shape[2])
-            pos = walks[ids][jnp.arange(b), wi, pi]
+            from tpu_sage.ops import row_gather
+
+            pos = row_gather(walks, ids)[jnp.arange(b), wi, pi]
         else:
             pos = random_walk(k_walk, graph.adj, graph.degrees, ids,
                               self.unsup.walk_length)
