@@ -54,16 +54,18 @@ def uniform_neighbor_sample_csr(
     self-loop (their empty CSR row would otherwise alias the next row's
     data).
     """
+    from tpu_sage.ops import row_gather
+
     ids = ids.astype(jnp.int32)
-    deg = degrees[ids]
+    deg = row_gather(degrees, ids)
     safe_deg = jnp.maximum(deg, 1)
     u = jax.random.uniform(key, (ids.shape[0], n_samples))
     off = jnp.minimum(
         (u * safe_deg[:, None].astype(u.dtype)).astype(jnp.int32),
         safe_deg[:, None] - 1,
     )
-    pos = indptr[ids][:, None] + off                     # (B, k)
-    nbr = indices[pos.reshape(-1)].reshape(ids.shape[0], n_samples)
+    pos = row_gather(indptr, ids)[:, None] + off         # (B, k)
+    nbr = row_gather(indices, pos.reshape(-1)).reshape(ids.shape[0], n_samples)
     return jnp.where(deg[:, None] == 0, ids[:, None], nbr)
 
 
