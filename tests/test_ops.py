@@ -1,0 +1,64 @@
+"""tpu_sage.ops.row_gather — the fast-lowering gather (RESULTS.md round 2c).
+
+Contract: element-identical values AND gradients to plain ``table[ids]``
+for in-bounds ids (the framework never produces OOB ids — adjacency entries
+are valid node ids by construction); OOB ids yield zero rows instead of
+XLA's clamp. Dispatches to ``QuantizedFeats.row_gather`` for int8 tables.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_sage.data.quantize import quantize_feats
+from tpu_sage.ops import row_gather
+
+
+@pytest.mark.parametrize("ids_shape", [(7,), (3, 5), (2, 3, 4)])
+def test_row_gather_matches_plain(ids_shape):
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((50, 6)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 50, size=ids_shape), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(row_gather(table, ids)), np.asarray(table[ids])
+    )
+
+
+def test_row_gather_1d_table():
+    rng = np.random.default_rng(1)
+    degrees = jnp.asarray(rng.integers(0, 9, size=40), jnp.int32)
+    ids = jnp.asarray(rng.integers(0, 40, size=13), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(row_gather(degrees, ids)), np.asarray(degrees[ids])
+    )
+
+
+def test_row_gather_oob_zero_fill():
+    table = jnp.arange(12, dtype=jnp.float32).reshape(4, 3) + 1.0
+    ids = jnp.asarray([-1, 0, 3, 4], jnp.int32)
+    out = np.asarray(row_gather(table, ids))
+    np.testing.assert_array_equal(out[0], 0.0)
+    np.testing.assert_array_equal(out[3], 0.0)
+    np.testing.assert_array_equal(out[1], np.asarray(table[0]))
+    np.testing.assert_array_equal(out[2], np.asarray(table[3]))
+
+
+def test_row_gather_gradient_matches_plain():
+    rng = np.random.default_rng(2)
+    table = jnp.asarray(rng.standard_normal((20, 4)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 20, size=9), jnp.int32)
+
+    g_fast = jax.grad(lambda t: jnp.sum(jnp.sin(row_gather(t, ids))))(table)
+    g_plain = jax.grad(lambda t: jnp.sum(jnp.sin(t[ids])))(table)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_plain))
+
+
+def test_row_gather_quantized_dispatch():
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((30, 8)).astype(np.float32)
+    qf = quantize_feats(feats, out_dtype="float32")
+    ids = jnp.asarray(rng.integers(0, 30, size=11), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(row_gather(qf, ids)), np.asarray(qf[ids])
+    )
