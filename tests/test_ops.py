@@ -62,3 +62,41 @@ def test_row_gather_quantized_dispatch():
     np.testing.assert_array_equal(
         np.asarray(row_gather(qf, ids)), np.asarray(qf[ids])
     )
+
+
+@pytest.mark.parametrize("form", ["masked", "plain"])
+def test_row_gather_forms_agree_in_bounds(form):
+    """Both lowering forms are value- and gradient-identical for valid ids
+    (the form only picks the XLA emitter — ops.py module doc)."""
+    rng = np.random.default_rng(4)
+    table = jnp.asarray(rng.standard_normal((25, 5)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 25, size=(4, 3)), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(row_gather(table, ids, form=form)), np.asarray(table[ids])
+    )
+    g = jax.grad(lambda t: jnp.sum(jnp.cos(row_gather(t, ids, form=form))))(table)
+    g_plain = jax.grad(lambda t: jnp.sum(jnp.cos(t[ids])))(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_plain))
+
+
+@pytest.mark.parametrize("form", ["masked", "plain"])
+def test_row_gather_quantized_form_passthrough(form):
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((30, 8)).astype(np.float32)
+    qf = quantize_feats(feats, out_dtype="float32")
+    ids = jnp.asarray(rng.integers(0, 30, size=11), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(row_gather(qf, ids, form=form)), np.asarray(qf[ids])
+    )
+
+
+def test_row_gather_env_override_wins(monkeypatch):
+    """TPU_SAGE_GATHER_FORM forces the form regardless of the call-site arg
+    (whole-program A/B escape hatch). Read at trace time via ops._FORM_ENV."""
+    import tpu_sage.ops as ops
+
+    monkeypatch.setattr(ops, "_FORM_ENV", "masked")
+    table = jnp.arange(12, dtype=jnp.float32).reshape(4, 3)
+    ids = jnp.asarray([1, 9], jnp.int32)  # 9 is OOB: masked zero-fills, plain clamps
+    out = np.asarray(ops.row_gather(table, ids, form="plain"))
+    np.testing.assert_array_equal(out[1], 0.0)

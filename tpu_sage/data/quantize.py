@@ -55,13 +55,13 @@ class QuantizedFeats:
         dt = jnp.dtype(self.out_dtype)
         return rows.astype(dt) * self.scale.astype(dt)
 
-    def row_gather(self, ids: jnp.ndarray) -> jnp.ndarray:
-        """Fast-lowering gather (tpu_sage.ops): mask the int8 rows, then
-        dequantize — the select lands directly on the gather output, which
-        is what flips XLA's TPU gather emitter to the fast form."""
+    def row_gather(self, ids: jnp.ndarray, form: str | None = None) -> jnp.ndarray:
+        """Form-aware gather (tpu_sage.ops): under ``"masked"`` the select
+        lands directly on the int8 gather output — which is what flips XLA's
+        TPU gather emitter to the fast form — then dequantize."""
         from tpu_sage import ops
 
-        rows = ops.row_gather(self.q, ids)
+        rows = ops.row_gather(self.q, ids, form=form)
         dt = jnp.dtype(self.out_dtype)
         return rows.astype(dt) * self.scale.astype(dt)
 

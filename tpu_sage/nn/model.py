@@ -141,7 +141,15 @@ class GSSupervised(nn.Module):
             and len(self.layer_specs) >= 1
         ):
             return self._encode_fused(levels, feats)
-        gathered = [None if feats is None else row_gather(feats, ids) for ids in levels]
+        # The gather lowering is consumer-dependent (ops.row_gather doc): the
+        # mean aggregator's first-layer matmul wants the gather materialized
+        # ("masked", −15% whole step); every MLP/softmax-consumer aggregator
+        # measured faster with the gather left fusable ("plain").
+        form = "masked" if self.aggregator_class == "mean" else "plain"
+        gathered = [
+            None if feats is None else row_gather(feats, ids, form=form)
+            for ids in levels
+        ]
         return self.encode_gathered(levels, gathered)
 
     def _encode_fused(self, levels: List[jnp.ndarray], feats: jnp.ndarray) -> jnp.ndarray:

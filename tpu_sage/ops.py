@@ -28,21 +28,45 @@ nothing in the framework relies on OOB clamping.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
+# Ablation/escape hatch: TPU_SAGE_GATHER_FORM=masked|plain overrides every
+# call site's ``form`` argument (read at trace time; used by scripts/bench_*
+# for same-session whole-program A/B). Unset in production.
+_FORM_ENV = os.environ.get("TPU_SAGE_GATHER_FORM")
 
-def row_gather(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
-    """``table[ids]`` via the measured-fast TPU lowering (see module doc).
 
-    ``ids`` may have any shape; trailing table dims broadcast. OOB ids yield
-    zero rows (never produced by the samplers — adjacency entries are valid
-    node ids by construction, graph_data.py). Tables that know how to gather
+def row_gather(table: jnp.ndarray, ids: jnp.ndarray, form: str | None = None) -> jnp.ndarray:
+    """``table[ids]`` with an explicit choice of TPU lowering (see module doc).
+
+    ``form`` picks the emitter the consumer measured fastest with:
+
+    - ``"masked"`` (default): clip + post-gather select. The select forces
+      the gathered rows to materialize as a standalone fused-gather kernel.
+      Measured fastest when the consumer is the mean aggregator's first-layer
+      matmul (3.10 vs 3.65 ms/step headline) — the plain form fuses the
+      gather INTO that matmul and serializes it.
+    - ``"plain"``: ``table[ids]`` untouched, letting XLA fuse the gather into
+      the consumer. Measured fastest for every OTHER aggregator family
+      (same-session A/B, bf16 batch-512 Reddit bench: gcn 3.95 vs 4.80,
+      attention 6.24 vs 8.36, lstm 7.42 vs 8.30 ms/step) — their per-neighbor
+      MLP/softmax consumers want the fusion the mean path wants broken.
+
+    ``ids`` may have any shape; trailing table dims broadcast. Under
+    ``"masked"``, OOB ids yield zero rows (never produced by the samplers —
+    adjacency entries are valid node ids by construction, graph_data.py);
+    ``"plain"`` keeps XLA's clamp semantics. Tables that know how to gather
     themselves (``QuantizedFeats``: mask the int8 rows, dequantize after)
     are dispatched to their own ``row_gather`` method.
     """
     own = getattr(table, "row_gather", None)
     if own is not None:
-        return own(ids)
+        return own(ids, form=form)
+    form = _FORM_ENV or form or "masked"
+    if form == "plain":
+        return table[ids]
     m = table.shape[0]
     rows = table[jnp.clip(ids, 0, m - 1)]
     ok = (ids >= 0) & (ids < m)
