@@ -93,6 +93,8 @@ def _free_port():
 def test_two_process_partitioned_unsupervised(tmp_path):
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # a host-device-count override would change
+    # the worker's expected device topology
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = (

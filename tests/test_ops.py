@@ -90,6 +90,48 @@ def test_row_gather_quantized_form_passthrough(form):
     )
 
 
+def test_row_gather_chunked_matches_plain(monkeypatch):
+    """Chunked gather is element-identical to one gather, including the
+    ceil-division remainder chunk and the below-threshold fallback."""
+    import tpu_sage.ops as ops
+
+    rng = np.random.default_rng(6)
+    table = jnp.asarray(rng.standard_normal((64, 7)), jnp.float32)
+
+    monkeypatch.setattr(ops, "_N_CHUNKS", 4)
+    monkeypatch.setattr(ops, "_CHUNK_MIN_ROWS", 8)
+    for n in (7, 8, 16, 17, 18, 19, 101):  # below threshold, exact, remainders
+        ids = jnp.asarray(rng.integers(0, 64, size=n), jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(ops.row_gather_chunked(table, ids)), np.asarray(table[ids])
+        )
+    # 2-D ids fall back to the single gather path
+    ids2 = jnp.asarray(rng.integers(0, 64, size=(5, 4)), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(ops.row_gather_chunked(table, ids2)), np.asarray(table[ids2])
+    )
+
+
+def test_row_gather_chunked_gradient_and_quantized(monkeypatch):
+    import tpu_sage.ops as ops
+
+    monkeypatch.setattr(ops, "_N_CHUNKS", 3)
+    monkeypatch.setattr(ops, "_CHUNK_MIN_ROWS", 4)
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(rng.standard_normal((20, 4)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 20, size=10), jnp.int32)
+    g = jax.grad(lambda t: jnp.sum(jnp.sin(ops.row_gather_chunked(t, ids))))(table)
+    g_plain = jax.grad(lambda t: jnp.sum(jnp.sin(t[ids])))(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_plain))
+
+    feats = rng.standard_normal((30, 8)).astype(np.float32)
+    qf = quantize_feats(feats, out_dtype="float32")
+    qids = jnp.asarray(rng.integers(0, 30, size=11), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(ops.row_gather_chunked(qf, qids)), np.asarray(qf[qids])
+    )
+
+
 def test_row_gather_env_override_wins(monkeypatch):
     """TPU_SAGE_GATHER_FORM forces the form regardless of the call-site arg
     (whole-program A/B escape hatch). Read at trace time via ops._FORM_ENV."""

@@ -23,7 +23,7 @@ import flax.linen as nn
 
 from tpu_sage.nn.aggregators import aggregator_lookup
 from tpu_sage.nn.preps import prep_lookup
-from tpu_sage.ops import row_gather
+from tpu_sage.ops import row_gather, row_gather_chunked
 from tpu_sage.sample.sampler import sample_tree
 
 
@@ -144,10 +144,16 @@ class GSSupervised(nn.Module):
         # The gather lowering is consumer-dependent (ops.row_gather doc): the
         # mean aggregator's first-layer matmul wants the gather materialized
         # ("masked", −15% whole step); every MLP/softmax-consumer aggregator
-        # measured faster with the gather left fusable ("plain").
+        # measured faster with the gather left fusable ("plain"). Plain-form
+        # levels additionally split into independent chunk gathers so their
+        # descriptor streams overlap (ops.row_gather_chunked: gcn −9%,
+        # attention −5% whole step); chunking the masked path instead
+        # REGRESSES it 36% — the concat re-materialization forfeits the
+        # defusion win — so the mean path keeps one gather per level.
         form = "masked" if self.aggregator_class == "mean" else "plain"
+        gather = row_gather if form == "masked" else row_gather_chunked
         gathered = [
-            None if feats is None else row_gather(feats, ids, form=form)
+            None if feats is None else gather(feats, ids, form=form)
             for ids in levels
         ]
         return self.encode_gathered(levels, gathered)

@@ -71,3 +71,35 @@ def row_gather(table: jnp.ndarray, ids: jnp.ndarray, form: str | None = None) ->
     rows = table[jnp.clip(ids, 0, m - 1)]
     ok = (ids >= 0) & (ids < m)
     return jnp.where(ok.reshape(ok.shape + (1,) * (rows.ndim - ok.ndim)), rows, 0)
+
+
+# Chunked-gather knobs (read at trace time). XLA issues gather descriptors
+# serially PER OP but runs independent gather ops concurrently, so splitting
+# one big gather into chunks overlaps the descriptor streams: the 141k-row
+# Reddit feature gather measures 3.06 -> 2.00 ms at 4 chunks, flat at 8
+# (scripts/bench_gather_split.py — the overlapped floor is ~14 ns/row).
+# TPU_SAGE_GATHER_CHUNKS=1 disables for whole-program A/B.
+_N_CHUNKS = int(os.environ.get("TPU_SAGE_GATHER_CHUNKS", "4"))
+_CHUNK_MIN_ROWS = 4096  # below this the extra ops cost more than they overlap
+
+
+def row_gather_chunked(
+    table: jnp.ndarray, ids: jnp.ndarray, form: str | None = None
+) -> jnp.ndarray:
+    """``row_gather`` split into independent chunk gathers for overlap.
+
+    Chunks are contiguous static slices of a flat ``ids`` vector; results
+    concatenate back — element-identical to the single gather. Falls back to
+    one gather for small/non-flat ``ids`` (the overlap only pays above
+    ~4k rows) and when chunking is disabled.
+    """
+    n = ids.shape[0] if ids.ndim == 1 else 0
+    if _N_CHUNKS <= 1 or n < _CHUNK_MIN_ROWS:
+        return row_gather(table, ids, form=form)
+    c = -(-n // _N_CHUNKS)  # ceil; the last chunk takes the remainder
+    parts = [
+        row_gather(table, ids[j * c : min((j + 1) * c, n)], form=form)
+        for j in range(_N_CHUNKS)
+        if j * c < n
+    ]
+    return jnp.concatenate(parts, axis=0)
