@@ -132,6 +132,87 @@ def test_row_gather_chunked_gradient_and_quantized(monkeypatch):
     )
 
 
+def test_row_gather_fanout_mean_matches_unfused(monkeypatch):
+    """Chunked gather+mean equals mean-of-gather, including ragged root
+    chunks, the below-threshold fallback, and fewer roots than chunks."""
+    import tpu_sage.ops as ops
+
+    rng = np.random.default_rng(11)
+    table = jnp.asarray(rng.standard_normal((50, 6)), jnp.float32)
+
+    monkeypatch.setattr(ops, "_N_CHUNKS", 4)
+    monkeypatch.setattr(ops, "_CHUNK_MIN_ROWS", 8)
+    for n_roots, fanout in ((16, 3), (17, 3), (3, 5), (2, 4), (1, 9)):
+        ids = jnp.asarray(
+            rng.integers(0, 50, size=n_roots * fanout), jnp.int32
+        )
+        want = np.asarray(table[ids]).reshape(n_roots, fanout, -1).mean(axis=1)
+        got = np.asarray(ops.row_gather_fanout_mean(table, ids, fanout))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_row_gather_fanout_mean_gradient_and_quantized(monkeypatch):
+    import tpu_sage.ops as ops
+
+    monkeypatch.setattr(ops, "_N_CHUNKS", 3)
+    monkeypatch.setattr(ops, "_CHUNK_MIN_ROWS", 4)
+    rng = np.random.default_rng(12)
+    table = jnp.asarray(rng.standard_normal((30, 5)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 30, size=8 * 4), jnp.int32)
+
+    def fused(t):
+        return jnp.sum(jnp.sin(ops.row_gather_fanout_mean(t, ids, 4)))
+
+    def unfused(t):
+        return jnp.sum(jnp.sin(jnp.mean(t[ids].reshape(8, 4, -1), axis=1)))
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(fused)(table)),
+        np.asarray(jax.grad(unfused)(table)),
+        rtol=1e-6,
+        atol=1e-6,
+    )
+
+    feats = rng.standard_normal((25, 6)).astype(np.float32)
+    qf = quantize_feats(feats, out_dtype="float32")
+    qids = jnp.asarray(rng.integers(0, 25, size=6 * 3), jnp.int32)
+    want = np.asarray(qf[qids]).reshape(6, 3, -1).mean(axis=1)
+    np.testing.assert_allclose(
+        np.asarray(ops.row_gather_fanout_mean(qf, qids, 3)),
+        want,
+        rtol=1e-6,
+        atol=1e-6,
+    )
+
+
+def test_model_fused_fanout_mean_matches_encode_gathered():
+    """GSSupervised's mean+identity fast path (deepest-level gather+mean
+    fusion) produces the same logits as feeding fully-gathered rows."""
+    from tpu_sage.nn.model import GSSupervised, default_layer_specs
+
+    rng = np.random.default_rng(13)
+    feats = jnp.asarray(rng.standard_normal((60, 12)), jnp.float32)
+    levels = [
+        jnp.asarray(rng.integers(0, 60, size=n), jnp.int32)
+        for n in (8, 8 * 3, 8 * 3 * 2)
+    ]
+    model = GSSupervised(
+        layer_specs=default_layer_specs((3, 2), output_dims=(16, 16)),
+        n_classes=4,
+        aggregator_class="mean",
+        prep_class="identity",
+    )
+    params = model.init(jax.random.key(0), levels, feats)
+    via_encode = model.apply(params, levels, feats)
+    gathered = [feats[ids] for ids in levels]
+    via_gathered = model.apply(
+        params, levels, gathered, method=GSSupervised.forward_gathered
+    )
+    np.testing.assert_allclose(
+        np.asarray(via_encode), np.asarray(via_gathered), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_row_gather_env_override_wins(monkeypatch):
     """TPU_SAGE_GATHER_FORM forces the form regardless of the call-site arg
     (whole-program A/B escape hatch). Read at trace time via ops._FORM_ENV."""

@@ -23,7 +23,7 @@ import flax.linen as nn
 
 from tpu_sage.nn.aggregators import aggregator_lookup
 from tpu_sage.nn.preps import prep_lookup
-from tpu_sage.ops import row_gather, row_gather_chunked
+from tpu_sage.ops import row_gather, row_gather_chunked, row_gather_fanout_mean
 from tpu_sage.sample.sampler import sample_tree
 
 
@@ -156,6 +156,23 @@ class GSSupervised(nn.Module):
             None if feats is None else gather(feats, ids, form=form)
             for ids in levels
         ]
+        # The DEEPEST level's rows have a single consumer — the first
+        # aggregation pass's fanout mean — so on the mean path (with an
+        # ids-blind prep) the gather and the mean fuse per chunk
+        # (ops.row_gather_fanout_mean): the chunk concat shrinks from the
+        # raw rows to the (n_roots, D) means, recovering the overlap win
+        # the masked path otherwise forfeits. encode_gathered sees the
+        # reduced rows as a fanout-1 level; its axis-1 mean is the identity.
+        if (
+            feats is not None
+            and self.aggregator_class == "mean"
+            and self.prep_class == "identity"
+            and len(levels) >= 2
+        ):
+            fanout = levels[-1].shape[0] // levels[-2].shape[0]
+            gathered[-1] = row_gather_fanout_mean(
+                feats, levels[-1], fanout, form=form
+            )
         return self.encode_gathered(levels, gathered)
 
     def _encode_fused(self, levels: List[jnp.ndarray], feats: jnp.ndarray) -> jnp.ndarray:

@@ -103,3 +103,39 @@ def row_gather_chunked(
         if j * c < n
     ]
     return jnp.concatenate(parts, axis=0)
+
+
+def row_gather_fanout_mean(
+    table: jnp.ndarray, ids: jnp.ndarray, fanout: int, form: str | None = None
+) -> jnp.ndarray:
+    """Gather flat ``ids`` and mean over trailing ``fanout`` groups, chunked.
+
+    Equals ``mean(row_gather(table, ids).reshape(-1, fanout, D), axis=1)``
+    with the gather split into independent root-aligned chunks and the mean
+    taken PER CHUNK, so the concat re-materializes only the ``(n_roots, D)``
+    means instead of the raw rows — this is what lets the MASKED (mean-path)
+    gather keep the descriptor-stream overlap that chunk+concat of raw rows
+    forfeits (scripts/bench_gather_mean.py: one.masked.mm 2.76 →
+    chunk4.masked.mm 2.14 ms on the int8 level-2 stage). Only valid when the
+    rows' sole consumer is the fanout mean — i.e. the DEEPEST tree level
+    under the mean aggregator with an ids-blind linear prep.
+    """
+    n = ids.shape[0]
+    n_roots = n // fanout
+
+    def gather_mean(sub_ids: jnp.ndarray, nb: int) -> jnp.ndarray:
+        rows = row_gather(table, sub_ids, form=form)
+        return jnp.mean(rows.reshape(nb, fanout, rows.shape[-1]), axis=1)
+
+    if _N_CHUNKS <= 1 or n < _CHUNK_MIN_ROWS or n_roots < _N_CHUNKS:
+        return gather_mean(ids, n_roots)
+    cb = -(-n_roots // _N_CHUNKS)  # roots per chunk (ceil)
+    parts = [
+        gather_mean(
+            ids[j * cb * fanout : min((j + 1) * cb, n_roots) * fanout],
+            min((j + 1) * cb, n_roots) - j * cb,
+        )
+        for j in range(_N_CHUNKS)
+        if j * cb < n_roots
+    ]
+    return jnp.concatenate(parts, axis=0)
