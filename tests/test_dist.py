@@ -46,6 +46,48 @@ def test_dist_gather_exact(mesh):
     np.testing.assert_array_equal(np.asarray(out), table[ids.reshape(-1)])
 
 
+@pytest.mark.parametrize("mode", ["exact", "ring", "bucketed"])
+def test_dist_gather_fanout_mean_matches_local(mesh, mode):
+    """Fused halo gather + per-root fanout mean equals the local
+    gather-then-mean for every halo mode, float and int8-like tables."""
+    from tpu_sage.dist.train import make_gather_last
+
+    n, d, fanout, n_roots = 64, 16, 5, 8  # q = 40 per shard
+    table, table_d = _sharded_table(mesh, n, d, seed=4)
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, n, size=(8, n_roots * fanout)).astype(np.int32)
+    ids_d = jax.device_put(
+        jnp.asarray(ids.reshape(-1)), NamedSharding(mesh, P("data"))
+    )
+    gl = make_gather_last(mode, 8, capacity_factor=float(n_roots * fanout))
+
+    out = shard_map(
+        lambda t, i: gl(t, i, fanout, "data"),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
+        check_vma=False,
+    )(table_d, ids_d)
+    want = table[ids.reshape(-1)].reshape(8 * n_roots, fanout, d).mean(axis=1)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-5)
+
+    # int8 shard (quantized feature storage): fused mean must promote
+    int8_table = rng.integers(-100, 100, size=(n, d)).astype(np.int8)
+    t8_d = jax.device_put(jnp.asarray(int8_table), NamedSharding(mesh, P("data")))
+    out8 = shard_map(
+        lambda t, i: gl(t, i, fanout, "data"),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
+        check_vma=False,
+    )(t8_d, ids_d)
+    want8 = (
+        int8_table[ids.reshape(-1)]
+        .astype(np.float32)
+        .reshape(8 * n_roots, fanout, d)
+        .mean(axis=1)
+    )
+    assert out8.dtype == jnp.float32
+    # per-shard partial means reassociate the f32 sum; bound is looser
+    np.testing.assert_allclose(np.asarray(out8), want8, rtol=1e-5, atol=1e-5)
+
+
 def test_dist_gather_bucketed_exact_capacity(mesh):
     n, d, q = 64, 8, 24
     table, table_d = _sharded_table(mesh, n, d, seed=2)

@@ -66,6 +66,80 @@ def dist_gather(
     return lax.psum_scatter(flat, axis_name, scatter_dimension=0, tiled=True)
 
 
+def dist_gather_fanout_mean(
+    local_table: jnp.ndarray,  # (m, d) rows owned by this shard
+    ids: jnp.ndarray,          # (q,) GLOBAL ids, q = n_roots * fanout
+    fanout: int,
+    axis_name: str,
+) -> jnp.ndarray:
+    """Fused halo gather + per-root fanout mean: returns ``(q/fanout, d)``.
+
+    For the DEEPEST tree level under the mean aggregator the gathered rows'
+    sole consumer is ``mean`` over each root's ``fanout`` group — and that
+    mean commutes with the disjoint-ownership cross-shard sum, so each shard
+    pre-reduces its masked answers and ``psum_scatter`` ships the per-root
+    means instead of the raw rows: ``fanout×`` less collective payload on
+    the partitioned step's dominant exchange (bytes: rows·width·dtype →
+    rows/fanout·width·f32). Equals
+    ``mean(dist_gather(...).astype(f32).reshape(-1, fanout, d), axis=1)``
+    up to float summation order. Always returns float32 (integer tables —
+    int8 feature shards — cannot carry a mean); the caller's dequant scale
+    commutes with the mean, so ``dq(fused) == mean(dq(rows))``.
+    """
+    m = local_table.shape[0]
+    offset = shard_offset(axis_name, m)
+    all_ids = lax.all_gather(ids, axis_name)            # (n_dev, q)
+    local_idx = jnp.clip(all_ids - offset, 0, m - 1)
+    rows = local_table[local_idx]                        # (n_dev, q, d)
+    owned = (all_ids >= offset) & (all_ids < offset + m)
+    rows = jnp.where(
+        owned.reshape(owned.shape + (1,) * (rows.ndim - 2)), rows, 0
+    ).astype(jnp.float32)
+    nd, q = all_ids.shape
+    red = jnp.mean(rows.reshape((nd, q // fanout, fanout) + rows.shape[2:]), axis=2)
+    flat = red.reshape((-1,) + red.shape[2:])            # (n_dev*q/f, d)
+    return lax.psum_scatter(flat, axis_name, scatter_dimension=0, tiled=True)
+
+
+def dist_gather_ring_fanout_mean(
+    local_table: jnp.ndarray,
+    ids: jnp.ndarray,
+    fanout: int,
+    axis_name: str,
+    n_shards: int,
+) -> jnp.ndarray:
+    """Ring-rotation counterpart of :func:`dist_gather_fanout_mean`.
+
+    The id buffer rotates full (ints are cheap); the ANSWER buffer rotates
+    pre-reduced — ``(q/fanout, d)`` float32 accumulating each shard's mean
+    contribution (ownership is disjoint, so where-fill becomes add) —
+    ``fanout×`` less ppermute traffic than :func:`dist_gather_ring`.
+    """
+    m = local_table.shape[0]
+    my = lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    qf = ids.shape[0] // fanout
+
+    def contrib(buf_ids):
+        offset = my * m
+        local_idx = jnp.clip(buf_ids - offset, 0, m - 1)
+        rows = local_table[local_idx]
+        owned = (buf_ids >= offset) & (buf_ids < offset + m)
+        rows = jnp.where(
+            owned.reshape(owned.shape + (1,) * (rows.ndim - 1)), rows, 0
+        ).astype(jnp.float32)
+        return jnp.mean(rows.reshape((qf, fanout) + rows.shape[1:]), axis=1)
+
+    buf_ids = ids
+    buf = contrib(buf_ids)                    # home contribution
+    for _ in range(n_shards - 1):             # visit the other n-1 shards
+        buf_ids = lax.ppermute(buf_ids, axis_name, perm)
+        buf = lax.ppermute(buf, axis_name, perm)
+        buf = buf + contrib(buf_ids)
+    # one final hop brings the buffer back to its origin shard
+    return lax.ppermute(buf, axis_name, perm)
+
+
 def dist_gather_ring(
     local_table: jnp.ndarray,  # (m, d) rows owned by this shard
     ids: jnp.ndarray,          # (q,) GLOBAL ids queried by this shard

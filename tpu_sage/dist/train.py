@@ -38,7 +38,8 @@ from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_sage.dist.halo import (dist_gather, dist_gather_bucketed,
-                                dist_gather_ring)
+                                dist_gather_fanout_mean, dist_gather_ring,
+                                dist_gather_ring_fanout_mean)
 from tpu_sage.dist.partition import shard_fold, shard_graph
 from tpu_sage.graph.graph_data import DeviceGraph, GraphStore
 from tpu_sage.nn.model import GSSupervised
@@ -71,6 +72,53 @@ def make_gather(mode: str, n_shards: int, capacity_factor: float):
         return rows
 
     return bucketed
+
+
+def make_gather_last(mode: str, n_shards: int, capacity_factor: float = 2.0):
+    """Fused halo-gather + fanout-mean for the DEEPEST tree level.
+
+    On the mean-aggregator path the deepest level's rows have one consumer —
+    the first aggregation pass's per-root mean — which commutes with the
+    cross-shard ownership sum, so the exchange ships the ``(q/fanout, d)``
+    means instead of the raw rows (halo.dist_gather_fanout_mean: ``fanout×``
+    less collective payload). Bucketed routing answers per query and cannot
+    pre-reduce; it gathers full rows and means locally (uniform reduced
+    contract, no comm saving). Returned rows are float32; the caller's
+    dequant scale commutes with the mean.
+    """
+    if mode == "exact":
+        return lambda table, ids, fanout, axis: dist_gather_fanout_mean(
+            table, ids, fanout, axis
+        )
+    if mode == "ring":
+        return lambda table, ids, fanout, axis: dist_gather_ring_fanout_mean(
+            table, ids, fanout, axis, n_shards
+        )
+
+    def bucketed_mean(table, ids, fanout, axis):
+        rows = make_gather("bucketed", n_shards, capacity_factor)(table, ids, axis)
+        rows = rows.astype(jnp.float32)
+        return jnp.mean(
+            rows.reshape((ids.shape[0] // fanout, fanout) + rows.shape[1:]), axis=1
+        )
+
+    return bucketed_mean
+
+
+def gather_level_feats(gather, gather_last, feats, levels, fanouts, dq, axis):
+    """Halo-gather every level's feature rows (the halo exchange proper).
+
+    With ``gather_last`` set (mean aggregator + ids-blind prep), the deepest
+    level arrives pre-reduced to its per-root fanout means; the model's
+    ``encode_gathered`` sees it as a fanout-1 level whose axis-1 mean is the
+    identity (same contract as the single-device ``row_gather_fanout_mean``
+    path, nn/model.py::encode).
+    """
+    if gather_last is None:
+        return [dq(gather(feats, l, axis)) for l in levels]
+    out = [dq(gather(feats, l, axis)) for l in levels[:-1]]
+    out.append(dq(gather_last(feats, levels[-1], fanouts[-1], axis)))
+    return out
 
 
 def epoch_perm(
@@ -184,6 +232,18 @@ class PartitionedTrainer:
             self.n_shards,
             getattr(config, "halo_capacity_factor", 2.0),
         )
+        # fused deepest-level gather+mean (see make_gather_last): valid only
+        # when the first aggregation pass means over the fanout and the prep
+        # is ids-blind and linear
+        self.gather_last = (
+            make_gather_last(
+                getattr(config, "halo", "exact"),
+                self.n_shards,
+                getattr(config, "halo_capacity_factor", 2.0),
+            )
+            if model.aggregator_class == "mean" and model.prep_class == "identity"
+            else None
+        )
         self._step_fn = None
         self._epoch_fns = {}
         self._eval_fn = None
@@ -263,6 +323,7 @@ class PartitionedTrainer:
         model, tx, loss_fn = self.model, self.tx, self.loss_fn
         bps = self.batch_per_shard
         gather = self.gather
+        gather_last = self.gather_last
         spe = self.steps_per_epoch
         perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
 
@@ -296,7 +357,9 @@ class PartitionedTrainer:
                             ks[i], adj_deg, levels[-1], f, axis, gather
                         )
                     )
-                level_feats = [dq(gather(feats, l, axis)) for l in levels]
+                level_feats = gather_level_feats(
+                    gather, gather_last, feats, levels, fanouts, dq, axis
+                )
                 logits = model.apply(
                     p, levels, level_feats, method=model.forward_gathered
                 )
@@ -351,6 +414,7 @@ class PartitionedTrainer:
         model, tx, loss_fn = self.model, self.tx, self.loss_fn
         bps = self.batch_per_shard
         gather = self.gather
+        gather_last = self.gather_last
         spe = self.steps_per_epoch
         perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
 
@@ -392,7 +456,9 @@ class PartitionedTrainer:
                                 ks[i], adj_deg, levels[-1], f, axis, gather
                             )
                         )
-                    level_feats = [dq(gather(feats, l, axis)) for l in levels]
+                    level_feats = gather_level_feats(
+                    gather, gather_last, feats, levels, fanouts, dq, axis
+                )
                     logits = model.apply(
                         p, levels, level_feats, method=model.forward_gathered
                     )
@@ -451,6 +517,7 @@ class PartitionedTrainer:
         model = self.model
         bps = self.batch_per_shard
         gather = self.gather
+        gather_last = self.gather_last
 
         def shard_eval(params, key, adj, deg, feats, fscale, targets, ids, mask):
             # ids/mask local: (1, n_chunks, bps); targets local (m, ...)
@@ -472,7 +539,9 @@ class PartitionedTrainer:
                             ks[i], adj_deg, levels[-1], f, axis, gather
                         )
                     )
-                level_feats = [dq(gather(feats, l, axis)) for l in levels]
+                level_feats = gather_level_feats(
+                    gather, gather_last, feats, levels, fanouts, dq, axis
+                )
                 logits = model.apply(
                     params, levels, level_feats, method=model.forward_gathered
                 )

@@ -36,7 +36,8 @@ from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_sage.dist.partition import shard_fold_masked, shard_graph
-from tpu_sage.dist.train import (PartitionedTrainer, epoch_perm, perm_batch,
+from tpu_sage.dist.train import (PartitionedTrainer, epoch_perm,
+                                 gather_level_feats, perm_batch,
                                  sample_level_distributed)
 from tpu_sage.graph.graph_data import DeviceGraph, GraphStore
 from tpu_sage.nn.model import GSSupervised
@@ -110,6 +111,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         model, tx = self.model, self.tx
         bps = self.batch_per_shard
         gather = self.gather
+        gather_last = self.gather_last
         spe = self.steps_per_epoch
         wl = self.unsup.walk_length
         q = self.unsup.n_negatives
@@ -168,7 +170,9 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                                 ks[i], adj_deg, levels[-1], f, axis, gather
                             )
                         )
-                    level_feats = [dq(gather(feats, l, axis)) for l in levels]
+                    level_feats = gather_level_feats(
+                        gather, gather_last, feats, levels, fanouts, dq, axis
+                    )
                     z = model.apply(
                         p, levels, level_feats, method=model.encode_gathered
                     )
@@ -247,6 +251,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         model = self.model
         bps = self.batch_per_shard
         gather = self.gather
+        gather_last = self.gather_last
 
         def shard_embed(params, key, adj, deg, feats, fscale, ids):
             # ids local: (1, n_chunks, bps)
@@ -265,7 +270,9 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                             ks[i], adj_deg, levels[-1], f, axis, gather
                         )
                     )
-                level_feats = [dq(gather(feats, l, axis)) for l in levels]
+                level_feats = gather_level_feats(
+                        gather, gather_last, feats, levels, fanouts, dq, axis
+                    )
                 z = model.apply(
                     params, levels, level_feats, method=model.encode_gathered
                 )
