@@ -54,18 +54,23 @@ def uniform_neighbor_sample_csr(
     self-loop (their empty CSR row would otherwise alias the next row's
     data).
     """
-    from tpu_sage.ops import row_gather
+    from tpu_sage.ops import row_gather_chunked
 
+    # element gathers with elementwise consumers: chunked form overlaps the
+    # descriptor streams (ops.row_gather_chunked) — the (B·k,) indices
+    # gather is the CSR hop's dominant cost
     ids = ids.astype(jnp.int32)
-    deg = row_gather(degrees, ids)
+    deg = row_gather_chunked(degrees, ids)
     safe_deg = jnp.maximum(deg, 1)
     u = jax.random.uniform(key, (ids.shape[0], n_samples))
     off = jnp.minimum(
         (u * safe_deg[:, None].astype(u.dtype)).astype(jnp.int32),
         safe_deg[:, None] - 1,
     )
-    pos = row_gather(indptr, ids)[:, None] + off         # (B, k)
-    nbr = row_gather(indices, pos.reshape(-1)).reshape(ids.shape[0], n_samples)
+    pos = row_gather_chunked(indptr, ids)[:, None] + off  # (B, k)
+    nbr = row_gather_chunked(indices, pos.reshape(-1)).reshape(
+        ids.shape[0], n_samples
+    )
     return jnp.where(deg[:, None] == 0, ids[:, None], nbr)
 
 
