@@ -185,9 +185,11 @@ def test_row_gather_fanout_mean_gradient_and_quantized(monkeypatch):
     )
 
 
-def test_model_fused_fanout_mean_matches_encode_gathered():
-    """GSSupervised's mean+identity fast path (deepest-level gather+mean
-    fusion) produces the same logits as feeding fully-gathered rows."""
+@pytest.mark.parametrize("agg", ["mean", "gcn"])
+def test_model_fused_fanout_mean_matches_encode_gathered(agg):
+    """GSSupervised's mean/gcn + identity fast path (deepest-level
+    gather+mean fusion; GCN re-weights the pre-reduced mean to span self)
+    produces the same logits as feeding fully-gathered rows."""
     from tpu_sage.nn.model import GSSupervised, default_layer_specs
 
     rng = np.random.default_rng(13)
@@ -199,7 +201,7 @@ def test_model_fused_fanout_mean_matches_encode_gathered():
     model = GSSupervised(
         layer_specs=default_layer_specs((3, 2), output_dims=(16, 16)),
         n_classes=4,
-        aggregator_class="mean",
+        aggregator_class=agg,
         prep_class="identity",
     )
     params = model.init(jax.random.key(0), levels, feats)

@@ -241,7 +241,8 @@ class PartitionedTrainer:
                 self.n_shards,
                 getattr(config, "halo_capacity_factor", 2.0),
             )
-            if model.aggregator_class == "mean" and model.prep_class == "identity"
+            if model.aggregator_class in ("mean", "gcn")
+            and model.prep_class == "identity"
             else None
         )
         self._step_fn = None
@@ -324,6 +325,7 @@ class PartitionedTrainer:
         bps = self.batch_per_shard
         gather = self.gather
         gather_last = self.gather_last
+        lrf = fanouts[-1] if gather_last is not None else None
         spe = self.steps_per_epoch
         perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
 
@@ -361,7 +363,7 @@ class PartitionedTrainer:
                     gather, gather_last, feats, levels, fanouts, dq, axis
                 )
                 logits = model.apply(
-                    p, levels, level_feats, method=model.forward_gathered
+                    p, levels, level_feats, lrf, method=model.forward_gathered
                 )
                 local_loss = loss_fn(logits, tgt)
                 # weight shards by fold occupancy so wrap-padding doesn't skew
@@ -415,6 +417,7 @@ class PartitionedTrainer:
         bps = self.batch_per_shard
         gather = self.gather
         gather_last = self.gather_last
+        lrf = fanouts[-1] if gather_last is not None else None
         spe = self.steps_per_epoch
         perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
 
@@ -460,7 +463,8 @@ class PartitionedTrainer:
                     gather, gather_last, feats, levels, fanouts, dq, axis
                 )
                     logits = model.apply(
-                        p, levels, level_feats, method=model.forward_gathered
+                        p, levels, level_feats, lrf,
+                        method=model.forward_gathered,
                     )
                     scale = w / jnp.maximum(lax.psum(w, axis), 1e-12)
                     return loss_fn(logits, tgt) * scale
@@ -518,6 +522,7 @@ class PartitionedTrainer:
         bps = self.batch_per_shard
         gather = self.gather
         gather_last = self.gather_last
+        lrf = fanouts[-1] if gather_last is not None else None
 
         def shard_eval(params, key, adj, deg, feats, fscale, targets, ids, mask):
             # ids/mask local: (1, n_chunks, bps); targets local (m, ...)
@@ -543,7 +548,7 @@ class PartitionedTrainer:
                     gather, gather_last, feats, levels, fanouts, dq, axis
                 )
                 logits = model.apply(
-                    params, levels, level_feats, method=model.forward_gathered
+                    params, levels, level_feats, lrf, method=model.forward_gathered
                 )
                 tgt = targets[cids - offset]
                 if task == "classification":

@@ -112,6 +112,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         bps = self.batch_per_shard
         gather = self.gather
         gather_last = self.gather_last
+        lrf = fanouts[-1] if gather_last is not None else None
         spe = self.steps_per_epoch
         wl = self.unsup.walk_length
         q = self.unsup.n_negatives
@@ -174,7 +175,8 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                         gather, gather_last, feats, levels, fanouts, dq, axis
                     )
                     z = model.apply(
-                        p, levels, level_feats, method=model.encode_gathered
+                        p, levels, level_feats, lrf,
+                        method=model.encode_gathered,
                     )
                     z_u, z_p, z_n = (
                         z[:bps], z[bps : 2 * bps],
@@ -252,6 +254,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         bps = self.batch_per_shard
         gather = self.gather
         gather_last = self.gather_last
+        lrf = fanouts[-1] if gather_last is not None else None
 
         def shard_embed(params, key, adj, deg, feats, fscale, ids):
             # ids local: (1, n_chunks, bps)
@@ -274,7 +277,8 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                         gather, gather_last, feats, levels, fanouts, dq, axis
                     )
                 z = model.apply(
-                    params, levels, level_feats, method=model.encode_gathered
+                    params, levels, level_feats, lrf,
+                    method=model.encode_gathered,
                 )
                 return k, z
 

@@ -99,6 +99,16 @@ class MeanAggregator(nn.Module):
         neighbor rows (projection ∘ mean == mean ∘ projection)."""
         return self._finish(h_self, jnp.mean(pn_neigh, axis=1))
 
+    def combine_prereduced(
+        self, x_self: jnp.ndarray, neigh_mean: jnp.ndarray, fanout: int
+    ) -> jnp.ndarray:
+        """Finish from the PRE-REDUCED per-root neighbor mean (fused
+        deepest-level gather+mean path); the mean aggregator consumes it
+        directly — ``fanout`` is only needed by reduces that span self too
+        (GCN)."""
+        del fanout
+        return self._finish(self.fc_self(x_self), self.fc_neigh(neigh_mean))
+
 
 class PoolAggregator(nn.Module):
     """Per-neighbor MLP then an elementwise pool over the fanout axis.
@@ -250,14 +260,29 @@ class GCNAggregator(nn.Module):
     hidden_dim: int = 0
     dtype: Dtype = None
 
-    @nn.compact
+    def setup(self):
+        # setup-style (param tree identical to the prior nn.compact "fc")
+        # so __call__ and combine_prereduced share the projection
+        self.fc = nn.Dense(self.output_dim, use_bias=self.use_bias,
+                           dtype=self.dtype, name="fc")
+
+    def _project(self, summary: jnp.ndarray) -> jnp.ndarray:
+        out = self.fc(summary)
+        return out if self.activation is None else self.activation(out)
+
     def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
         both = jnp.concatenate([x_self[:, None, :], x_neigh], axis=1)
-        summary = jnp.mean(both, axis=1)
-        out = nn.Dense(self.output_dim, use_bias=self.use_bias, dtype=self.dtype, name="fc")(summary)
-        if self.activation is not None:
-            out = self.activation(out)
-        return out
+        return self._project(jnp.mean(both, axis=1))
+
+    def combine_prereduced(
+        self, x_self: jnp.ndarray, neigh_mean: jnp.ndarray, fanout: int
+    ) -> jnp.ndarray:
+        """Finish from the PRE-REDUCED per-root neighbor mean (the fused
+        deepest-level gather+mean path): GCN's reduce spans self ∪ neighbors,
+        so the pre-computed neighbor mean re-enters with weight ``fanout``:
+        ``mean(self ∪ N) = (x_self + fanout·mean(N)) / (fanout + 1)``."""
+        summary = (x_self + fanout * neigh_mean) / (fanout + 1)
+        return self._project(summary)
 
 
 aggregator_lookup = {

@@ -165,13 +165,16 @@ class GSSupervised(nn.Module):
         # reduced rows as a fanout-1 level; its axis-1 mean is the identity.
         if (
             feats is not None
-            and self.aggregator_class == "mean"
+            and self.aggregator_class in ("mean", "gcn")
             and self.prep_class == "identity"
             and len(levels) >= 2
         ):
             fanout = levels[-1].shape[0] // levels[-2].shape[0]
             gathered[-1] = row_gather_fanout_mean(
                 feats, levels[-1], fanout, form=form
+            )
+            return self.encode_gathered(
+                levels, gathered, last_reduced_fanout=fanout
             )
         return self.encode_gathered(levels, gathered)
 
@@ -214,17 +217,32 @@ class GSSupervised(nn.Module):
         self,
         levels: List[jnp.ndarray],
         level_feats: List[Optional[jnp.ndarray]],
+        last_reduced_fanout: Optional[int] = None,
     ) -> jnp.ndarray:
-        """As ``encode`` but with each level's feature rows already gathered."""
+        """As ``encode`` but with each level's feature rows already gathered.
+
+        ``last_reduced_fanout``: set when the DEEPEST level's rows arrive
+        pre-reduced to per-root fanout means (``(n_roots, D)`` instead of
+        ``(n_roots·fanout, D)`` — the fused gather paths in ``encode`` and
+        ``dist/train.gather_level_feats``). The first aggregation pass's
+        deepest pairing then goes through ``agg.combine_prereduced``, which
+        re-weights reduces that span self too (GCN). Without the flag a
+        reduced mean-path level still works via the fanout-1 reshape (the
+        axis-1 mean of one element is the identity)."""
         if len(levels) != len(self.layer_specs) + 1:
             raise ValueError(
                 f"need {len(self.layer_specs) + 1} tree levels, got {len(levels)}"
             )
         h = [self.prep(ids, x) for ids, x in zip(levels, level_feats)]
-        for agg in self.agg_layers:
+        for li, agg in enumerate(self.agg_layers):
             nxt = []
             for d in range(len(h) - 1):
                 n_self = h[d].shape[0]
+                if li == 0 and d == len(h) - 2 and last_reduced_fanout is not None:
+                    nxt.append(
+                        agg.combine_prereduced(h[d], h[d + 1], last_reduced_fanout)
+                    )
+                    continue
                 x_neigh = h[d + 1].reshape(n_self, -1, h[d + 1].shape[-1])
                 nxt.append(agg(h[d], x_neigh))
             h = nxt
@@ -240,9 +258,12 @@ class GSSupervised(nn.Module):
         self,
         levels: List[jnp.ndarray],
         level_feats: List[Optional[jnp.ndarray]],
+        last_reduced_fanout: Optional[int] = None,
     ) -> jnp.ndarray:
         """Logits from pre-gathered level features (partitioned path)."""
-        return self.fc(self.encode_gathered(levels, level_feats))
+        return self.fc(
+            self.encode_gathered(levels, level_feats, last_reduced_fanout)
+        )
 
     # -- convenience -------------------------------------------------------
 
