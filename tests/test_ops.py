@@ -185,13 +185,20 @@ def test_row_gather_fanout_mean_gradient_and_quantized(monkeypatch):
     )
 
 
-@pytest.mark.parametrize("agg", ["mean", "gcn"])
-def test_model_fused_fanout_mean_matches_encode_gathered(agg):
-    """GSSupervised's mean/gcn + identity fast path (deepest-level
-    gather+mean fusion; GCN re-weights the pre-reduced mean to span self)
-    produces the same logits as feeding fully-gathered rows."""
+@pytest.mark.parametrize(
+    "agg", ["mean", "gcn", "max_pool", "mean_pool", "attention", "lstm"]
+)
+def test_model_fused_fanout_mean_matches_encode_gathered(agg, monkeypatch):
+    """GSSupervised's identity-prep fast path (deepest-level
+    gather+summarize fusion: per-root mean for mean/gcn — GCN re-weights it
+    to span self — pooled MLP / attention / LSTM summaries per chunk for
+    the rest) produces the same logits as feeding fully-gathered rows."""
+    import tpu_sage.ops as ops
     from tpu_sage.nn.model import GSSupervised, default_layer_specs
 
+    # force multi-chunk at these tiny shapes (3 ragged chunks over 8 roots)
+    monkeypatch.setattr(ops, "_N_CHUNKS", 3)
+    monkeypatch.setattr(ops, "_CHUNK_MIN_ROWS", 8)
     rng = np.random.default_rng(13)
     feats = jnp.asarray(rng.standard_normal((60, 12)), jnp.float32)
     levels = [

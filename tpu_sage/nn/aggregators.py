@@ -30,30 +30,6 @@ Activation = Optional[Callable[[jnp.ndarray], jnp.ndarray]]
 Dtype = Any  # compute dtype; params stay float32 (flax param_dtype default)
 
 
-def _combine(
-    module: nn.Module,
-    x_self: jnp.ndarray,
-    neigh_summary: jnp.ndarray,
-    output_dim: int,
-    combine: str,
-    activation: Activation,
-    use_bias: bool,
-    dtype: Dtype = None,
-) -> jnp.ndarray:
-    """Shared self/neighbor combine: two projections, concat or add."""
-    h_self = nn.Dense(output_dim, use_bias=use_bias, dtype=dtype, name="fc_self")(x_self)
-    h_neigh = nn.Dense(output_dim, use_bias=use_bias, dtype=dtype, name="fc_neigh")(neigh_summary)
-    if combine == "concat":
-        out = jnp.concatenate([h_self, h_neigh], axis=-1)
-    elif combine == "add":
-        out = h_self + h_neigh
-    else:
-        raise ValueError(f"unknown combine: {combine}")
-    if activation is not None:
-        out = activation(out)
-    return out
-
-
 class MeanAggregator(nn.Module):
     """``concat(W_self·x, W_neigh·mean(neighbors))`` (SURVEY.md §2.1).
 
@@ -88,7 +64,9 @@ class MeanAggregator(nn.Module):
         return out if self.activation is None else self.activation(out)
 
     def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
-        return self._finish(self.fc_self(x_self), self.fc_neigh(jnp.mean(x_neigh, axis=1)))
+        return self.combine_from_summary(
+            x_self, self.neigh_summary(x_self, x_neigh), x_neigh.shape[1]
+        )
 
     def project_table(self, table: jnp.ndarray):
         """Project every node's features through both branches (fused path)."""
@@ -99,15 +77,21 @@ class MeanAggregator(nn.Module):
         neighbor rows (projection ∘ mean == mean ∘ projection)."""
         return self._finish(h_self, jnp.mean(pn_neigh, axis=1))
 
-    def combine_prereduced(
-        self, x_self: jnp.ndarray, neigh_mean: jnp.ndarray, fanout: int
+    def neigh_summary(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
+        """Per-root neighborhood summary (root-aligned — the fused
+        deepest-level path computes it per gather chunk)."""
+        del x_self
+        return jnp.mean(x_neigh, axis=1)
+
+    def combine_from_summary(
+        self, x_self: jnp.ndarray, summary: jnp.ndarray, fanout: int
     ) -> jnp.ndarray:
-        """Finish from the PRE-REDUCED per-root neighbor mean (fused
-        deepest-level gather+mean path); the mean aggregator consumes it
-        directly — ``fanout`` is only needed by reduces that span self too
-        (GCN)."""
+        """Finish from the PRE-COMPUTED neighborhood summary (fused
+        deepest-level gather+summarize path); the mean aggregator consumes
+        it directly — ``fanout`` is only needed by reduces that span self
+        too (GCN)."""
         del fanout
-        return self._finish(self.fc_self(x_self), self.fc_neigh(neigh_mean))
+        return self._finish(self.fc_self(x_self), self.fc_neigh(summary))
 
 
 class PoolAggregator(nn.Module):
@@ -126,17 +110,41 @@ class PoolAggregator(nn.Module):
     use_bias: bool = True
     dtype: Dtype = None
 
-    @nn.compact
-    def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
-        h = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype, name="mlp")(x_neigh))  # (B, F, H)
+    def setup(self):
+        # setup-style (param tree identical to the prior nn.compact names)
+        # so the fused deepest-level path can call neigh_summary per chunk
+        self.mlp = nn.Dense(self.hidden_dim, dtype=self.dtype, name="mlp")
+        self.fc_self = nn.Dense(self.output_dim, use_bias=self.use_bias,
+                                dtype=self.dtype, name="fc_self")
+        self.fc_neigh = nn.Dense(self.output_dim, use_bias=self.use_bias,
+                                 dtype=self.dtype, name="fc_neigh")
+
+    def neigh_summary(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
+        del x_self
+        h = nn.relu(self.mlp(x_neigh))                   # (B, F, H)
         if self.pool == "max":
-            summary = jnp.max(h, axis=1)
-        elif self.pool == "mean":
-            summary = jnp.mean(h, axis=1)
+            return jnp.max(h, axis=1)
+        if self.pool == "mean":
+            return jnp.mean(h, axis=1)
+        raise ValueError(f"unknown pool: {self.pool}")
+
+    def combine_from_summary(
+        self, x_self: jnp.ndarray, summary: jnp.ndarray, fanout: int
+    ) -> jnp.ndarray:
+        del fanout
+        h_self, h_neigh = self.fc_self(x_self), self.fc_neigh(summary)
+        if self.combine == "concat":
+            out = jnp.concatenate([h_self, h_neigh], axis=-1)
+        elif self.combine == "add":
+            out = h_self + h_neigh
         else:
-            raise ValueError(f"unknown pool: {self.pool}")
-        return _combine(self, x_self, summary, self.output_dim, self.combine,
-                        self.activation, self.use_bias, self.dtype)
+            raise ValueError(f"unknown combine: {self.combine}")
+        return out if self.activation is None else self.activation(out)
+
+    def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
+        return self.combine_from_summary(
+            x_self, self.neigh_summary(x_self, x_neigh), x_neigh.shape[1]
+        )
 
 
 class MaxPoolAggregator(PoolAggregator):
@@ -171,6 +179,31 @@ class _LSTMRecurrent(nn.Module):
         return (c, h), None
 
 
+class _HoistedLSTM(nn.Module):
+    """Hoisted-input LSTM over the fanout axis; returns the final hidden
+    state. Input projections for ALL gates run as one (B·F, D)×(D, 4H)
+    matmul over the whole sequence; the scan carries only the recurrent
+    half."""
+
+    hidden_dim: int
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, seq):
+        xz = nn.Dense(4 * self.hidden_dim, use_bias=False, dtype=self.dtype,
+                      name="xz")(seq)          # (B, F, 4H)
+        xz = jnp.swapaxes(xz, 0, 1)            # (F, B, 4H)
+        cell = nn.scan(
+            _LSTMRecurrent,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0, out_axes=0,
+        )(self.hidden_dim, dtype=self.dtype, name="cell")
+        h0 = jnp.zeros((seq.shape[0], self.hidden_dim), seq.dtype)
+        (_, h), _ = cell((h0, h0), xz)
+        return h
+
+
 class LSTMAggregator(nn.Module):
     """LSTM over the sampled-neighbor sequence; final hidden state summarizes.
 
@@ -191,34 +224,38 @@ class LSTMAggregator(nn.Module):
     use_bias: bool = True
     dtype: Dtype = None
 
-    @nn.compact
+    def setup(self):
+        # setup-style (param tree identical to the prior nn.compact names:
+        # "lstm"/{"xz","cell"}, "fc_self", "fc_neigh") so the fused
+        # deepest-level path can call neigh_summary per chunk
+        self.lstm = _HoistedLSTM(hidden_dim=self.hidden_dim, dtype=self.dtype,
+                                 name="lstm")
+        self.fc_self = nn.Dense(self.output_dim, use_bias=self.use_bias,
+                                dtype=self.dtype, name="fc_self")
+        self.fc_neigh = nn.Dense(self.output_dim, use_bias=self.use_bias,
+                                 dtype=self.dtype, name="fc_neigh")
+
+    def neigh_summary(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
+        del x_self
+        return self.lstm(x_neigh)
+
+    def combine_from_summary(
+        self, x_self: jnp.ndarray, summary: jnp.ndarray, fanout: int
+    ) -> jnp.ndarray:
+        del fanout
+        h_self, h_neigh = self.fc_self(x_self), self.fc_neigh(summary)
+        if self.combine == "concat":
+            out = jnp.concatenate([h_self, h_neigh], axis=-1)
+        elif self.combine == "add":
+            out = h_self + h_neigh
+        else:
+            raise ValueError(f"unknown combine: {self.combine}")
+        return out if self.activation is None else self.activation(out)
+
     def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
-        b, fan, _ = x_neigh.shape
-        hid = self.hidden_dim
-
-        class _Hoisted(nn.Module):
-            dtype: Dtype = None
-
-            @nn.compact
-            def __call__(self, seq):
-                # hoisted input projections for ALL gates: one (B·F, D)×(D, 4H)
-                # matmul over the whole sequence, then scan time-major
-                xz = nn.Dense(4 * hid, use_bias=False, dtype=self.dtype,
-                              name="xz")(seq)          # (B, F, 4H)
-                xz = jnp.swapaxes(xz, 0, 1)            # (F, B, 4H)
-                cell = nn.scan(
-                    _LSTMRecurrent,
-                    variable_broadcast="params",
-                    split_rngs={"params": False},
-                    in_axes=0, out_axes=0,
-                )(hid, dtype=self.dtype, name="cell")
-                h0 = jnp.zeros((seq.shape[0], hid), seq.dtype)
-                (_, h), _ = cell((h0, h0), xz)
-                return h
-
-        summary = _Hoisted(dtype=self.dtype, name="lstm")(x_neigh)
-        return _combine(self, x_self, summary, self.output_dim, self.combine,
-                        self.activation, self.use_bias, self.dtype)
+        return self.combine_from_summary(
+            x_self, self.neigh_summary(x_self, x_neigh), x_neigh.shape[1]
+        )
 
 
 class AttentionAggregator(nn.Module):
@@ -235,15 +272,44 @@ class AttentionAggregator(nn.Module):
     use_bias: bool = False
     dtype: Dtype = None
 
-    @nn.compact
-    def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
-        q = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="att_q")(x_self)       # (B, K)
-        k = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="att_k")(x_neigh)      # (B, F, K)
+    def setup(self):
+        # setup-style (param tree identical to the prior nn.compact names)
+        # so the fused deepest-level path can call neigh_summary per chunk
+        self.att_q = nn.Dense(self.hidden_dim, use_bias=False,
+                              dtype=self.dtype, name="att_q")
+        self.att_k = nn.Dense(self.hidden_dim, use_bias=False,
+                              dtype=self.dtype, name="att_k")
+        self.fc_self = nn.Dense(self.output_dim, use_bias=self.use_bias,
+                                dtype=self.dtype, name="fc_self")
+        self.fc_neigh = nn.Dense(self.output_dim, use_bias=self.use_bias,
+                                 dtype=self.dtype, name="fc_neigh")
+
+    def neigh_summary(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
+        # the softmax spans only each root's own fanout group, so the
+        # summary stays root-aligned (chunkable) despite needing x_self
+        q = self.att_q(x_self)                                     # (B, K)
+        k = self.att_k(x_neigh)                                    # (B, F, K)
         scores = jnp.einsum("bk,bfk->bf", q, k) / jnp.sqrt(float(self.hidden_dim))
-        alpha = nn.softmax(scores, axis=-1)                                        # (B, F)
-        summary = jnp.einsum("bf,bfd->bd", alpha, x_neigh)
-        return _combine(self, x_self, summary, self.output_dim, self.combine,
-                        self.activation, self.use_bias, self.dtype)
+        alpha = nn.softmax(scores, axis=-1)                        # (B, F)
+        return jnp.einsum("bf,bfd->bd", alpha, x_neigh)
+
+    def combine_from_summary(
+        self, x_self: jnp.ndarray, summary: jnp.ndarray, fanout: int
+    ) -> jnp.ndarray:
+        del fanout
+        h_self, h_neigh = self.fc_self(x_self), self.fc_neigh(summary)
+        if self.combine == "concat":
+            out = jnp.concatenate([h_self, h_neigh], axis=-1)
+        elif self.combine == "add":
+            out = h_self + h_neigh
+        else:
+            raise ValueError(f"unknown combine: {self.combine}")
+        return out if self.activation is None else self.activation(out)
+
+    def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
+        return self.combine_from_summary(
+            x_self, self.neigh_summary(x_self, x_neigh), x_neigh.shape[1]
+        )
 
 
 class GCNAggregator(nn.Module):
@@ -271,18 +337,22 @@ class GCNAggregator(nn.Module):
         return out if self.activation is None else self.activation(out)
 
     def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
-        both = jnp.concatenate([x_self[:, None, :], x_neigh], axis=1)
-        return self._project(jnp.mean(both, axis=1))
+        return self.combine_from_summary(
+            x_self, self.neigh_summary(x_self, x_neigh), x_neigh.shape[1]
+        )
 
-    def combine_prereduced(
-        self, x_self: jnp.ndarray, neigh_mean: jnp.ndarray, fanout: int
+    def neigh_summary(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
+        del x_self
+        return jnp.mean(x_neigh, axis=1)
+
+    def combine_from_summary(
+        self, x_self: jnp.ndarray, summary: jnp.ndarray, fanout: int
     ) -> jnp.ndarray:
-        """Finish from the PRE-REDUCED per-root neighbor mean (the fused
+        """Finish from the PRE-COMPUTED per-root neighbor mean (the fused
         deepest-level gather+mean path): GCN's reduce spans self ∪ neighbors,
         so the pre-computed neighbor mean re-enters with weight ``fanout``:
         ``mean(self ∪ N) = (x_self + fanout·mean(N)) / (fanout + 1)``."""
-        summary = (x_self + fanout * neigh_mean) / (fanout + 1)
-        return self._project(summary)
+        return self._project((x_self + fanout * summary) / (fanout + 1))
 
 
 aggregator_lookup = {

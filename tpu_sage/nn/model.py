@@ -152,31 +152,77 @@ class GSSupervised(nn.Module):
         # defusion win — so the mean path keeps one gather per level.
         form = "masked" if self.aggregator_class == "mean" else "plain"
         gather = row_gather if form == "masked" else row_gather_chunked
-        gathered = [
-            None if feats is None else gather(feats, ids, form=form)
-            for ids in levels
-        ]
         # The DEEPEST level's rows have a single consumer — the first
-        # aggregation pass's fanout mean — so on the mean path (with an
-        # ids-blind prep) the gather and the mean fuse per chunk
-        # (ops.row_gather_fanout_mean): the chunk concat shrinks from the
-        # raw rows to the (n_roots, D) means, recovering the overlap win
-        # the masked path otherwise forfeits. encode_gathered sees the
-        # reduced rows as a fanout-1 level; its axis-1 mean is the identity.
-        if (
+        # aggregation pass's per-root neighborhood summary (fanout mean /
+        # pooled MLP / attention / LSTM final state), and every summary is
+        # root-aligned — so with an ids-blind prep, gather and summarize
+        # fuse per chunk: the chunk concat shrinks from the raw rows to the
+        # (n_roots, summary_dim) summaries, keeping the descriptor-stream
+        # overlap without the raw-row re-materialization. mean/gcn take the
+        # linear fast path (ops.row_gather_fanout_mean, masked/plain form
+        # per the round-2d policy); the rest summarize per chunk through
+        # the first aggregator's neigh_summary.
+        fuse_last = (
             feats is not None
-            and self.aggregator_class in ("mean", "gcn")
             and self.prep_class == "identity"
             and len(levels) >= 2
-        ):
-            fanout = levels[-1].shape[0] // levels[-2].shape[0]
-            gathered[-1] = row_gather_fanout_mean(
-                feats, levels[-1], fanout, form=form
+        )
+        gathered = [
+            None if feats is None else gather(feats, ids, form=form)
+            for ids in (levels[:-1] if fuse_last else levels)
+        ]
+        if not fuse_last:
+            return self.encode_gathered(levels, gathered)
+        fanout = levels[-1].shape[0] // levels[-2].shape[0]
+        if self.aggregator_class in ("mean", "gcn"):
+            gathered.append(
+                row_gather_fanout_mean(feats, levels[-1], fanout, form=form)
             )
-            return self.encode_gathered(
-                levels, gathered, last_reduced_fanout=fanout
+        else:
+            gathered.append(
+                self._deepest_summary(levels, gathered[-1], feats, fanout, form)
             )
-        return self.encode_gathered(levels, gathered)
+        return self.encode_gathered(levels, gathered, last_reduced_fanout=fanout)
+
+    def _deepest_summary(
+        self,
+        levels: List[jnp.ndarray],
+        x_self_rows: jnp.ndarray,
+        feats: jnp.ndarray,
+        fanout: int,
+        form: str,
+    ) -> jnp.ndarray:
+        """Per-chunk gather + neighborhood summary for the deepest level.
+
+        Chunks are root-aligned (each root's whole fanout group lives in one
+        chunk), so any per-root summary — pooled MLP, attention (its softmax
+        spans only the root's own group), LSTM over the group — computes
+        exactly per chunk; the concat re-materializes only the summaries.
+        ``x_self_rows`` are the (identity-prep'd) level-(L-1) rows, chunked
+        in step (attention's queries)."""
+        from tpu_sage.ops import _CHUNK_MIN_ROWS, _N_CHUNKS
+
+        agg0 = self.agg_layers[0]
+        n_roots = levels[-2].shape[0]
+        n = levels[-1].shape[0]
+        nc = (
+            _N_CHUNKS
+            if _N_CHUNKS > 1 and n >= _CHUNK_MIN_ROWS and n_roots >= _N_CHUNKS
+            else 1
+        )
+        cb = -(-n_roots // nc)  # roots per chunk (ceil)
+        parts = []
+        for j in range(nc):
+            lo, hi = j * cb, min((j + 1) * cb, n_roots)
+            if lo >= hi:
+                break
+            rows = row_gather(feats, levels[-1][lo * fanout : hi * fanout], form=form)
+            parts.append(
+                agg0.neigh_summary(
+                    x_self_rows[lo:hi], rows.reshape(hi - lo, fanout, -1)
+                )
+            )
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
     def _encode_fused(self, levels: List[jnp.ndarray], feats: jnp.ndarray) -> jnp.ndarray:
         """First aggregation pass via whole-table projection (see class doc).
@@ -222,12 +268,12 @@ class GSSupervised(nn.Module):
         """As ``encode`` but with each level's feature rows already gathered.
 
         ``last_reduced_fanout``: set when the DEEPEST level's rows arrive
-        pre-reduced to per-root fanout means (``(n_roots, D)`` instead of
+        pre-summarized per root (``(n_roots, summary_dim)`` instead of
         ``(n_roots·fanout, D)`` — the fused gather paths in ``encode`` and
         ``dist/train.gather_level_feats``). The first aggregation pass's
-        deepest pairing then goes through ``agg.combine_prereduced``, which
-        re-weights reduces that span self too (GCN). Without the flag a
-        reduced mean-path level still works via the fanout-1 reshape (the
+        deepest pairing then goes through ``agg.combine_from_summary``,
+        which re-weights reduces that span self too (GCN). Without the flag
+        a reduced mean-path level still works via the fanout-1 reshape (the
         axis-1 mean of one element is the identity)."""
         if len(levels) != len(self.layer_specs) + 1:
             raise ValueError(
@@ -240,7 +286,7 @@ class GSSupervised(nn.Module):
                 n_self = h[d].shape[0]
                 if li == 0 and d == len(h) - 2 and last_reduced_fanout is not None:
                     nxt.append(
-                        agg.combine_prereduced(h[d], h[d + 1], last_reduced_fanout)
+                        agg.combine_from_summary(h[d], h[d + 1], last_reduced_fanout)
                     )
                     continue
                 x_neigh = h[d + 1].reshape(n_self, -1, h[d + 1].shape[-1])
