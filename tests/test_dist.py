@@ -183,10 +183,15 @@ def test_epoch_batch_ids_exact_uniform_and_cycling():
     assert e2 != draws
 
 
-def test_partitioned_training_converges(mesh):
+@pytest.mark.parametrize("agg", ["mean", "gcn"])
+def test_partitioned_training_converges(mesh, agg):
+    """mean and gcn both route the deepest level through the fused halo
+    gather+mean (gcn re-weights the pre-reduced mean via
+    combine_from_summary + last_reduced_fanout on the dist path)."""
     store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=6, seed=6)
     cfg = TrainConfig(batch_size=64, epochs=1, n_train_samples=(5, 3),
-                      n_val_samples=(5, 3), output_dims=(32, 32), lr_init=0.01)
+                      n_val_samples=(5, 3), output_dims=(32, 32), lr_init=0.01,
+                      aggregator_class=agg)
     trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(store, cfg, mesh)
     state = trainer.init_state(feat_dim=store.feat_dim)
 
