@@ -77,14 +77,21 @@ def make_gather(mode: str, n_shards: int, capacity_factor: float):
 def make_gather_last(mode: str, n_shards: int, capacity_factor: float = 2.0):
     """Fused halo-gather + fanout-mean for the DEEPEST tree level.
 
-    On the mean-aggregator path the deepest level's rows have one consumer —
-    the first aggregation pass's per-root mean — which commutes with the
+    On the mean/gcn paths the deepest level's rows have one consumer — the
+    first aggregation pass's per-root mean — which commutes with the
     cross-shard ownership sum, so the exchange ships the ``(q/fanout, d)``
     means instead of the raw rows (halo.dist_gather_fanout_mean: ``fanout×``
     less collective payload). Bucketed routing answers per query and cannot
     pre-reduce; it gathers full rows and means locally (uniform reduced
     contract, no comm saving). Returned rows are float32; the caller's
     dequant scale commutes with the mean.
+
+    The consumer MUST be told the level is pre-reduced: pass
+    ``last_reduced_fanout`` to ``encode_gathered``/``forward_gathered``.
+    For gcn this is load-bearing (its reduce spans self, so the mean
+    re-enters weighted — omitting the flag silently computes
+    ``(x_self + mean)/2`` instead of ``(x_self + f·mean)/(f+1)``); only the
+    mean aggregator happens to survive without it (fanout-1 reshape).
     """
     if mode == "exact":
         return lambda table, ids, fanout, axis: dist_gather_fanout_mean(
@@ -108,11 +115,13 @@ def make_gather_last(mode: str, n_shards: int, capacity_factor: float = 2.0):
 def gather_level_feats(gather, gather_last, feats, levels, fanouts, dq, axis):
     """Halo-gather every level's feature rows (the halo exchange proper).
 
-    With ``gather_last`` set (mean aggregator + ids-blind prep), the deepest
-    level arrives pre-reduced to its per-root fanout means; the model's
-    ``encode_gathered`` sees it as a fanout-1 level whose axis-1 mean is the
-    identity (same contract as the single-device ``row_gather_fanout_mean``
-    path, nn/model.py::encode).
+    With ``gather_last`` set (mean/gcn aggregator + ids-blind prep), the
+    deepest level arrives pre-reduced to its per-root fanout means; the
+    caller must then pass ``last_reduced_fanout=fanouts[-1]`` to
+    ``encode_gathered``/``forward_gathered`` so the first pass consumes it
+    via ``combine_from_summary`` (required for gcn's self-spanning reduce —
+    see ``make_gather_last``; same contract as the single-device
+    ``row_gather_fanout_mean`` path, nn/model.py::encode).
     """
     if gather_last is None:
         return [dq(gather(feats, l, axis)) for l in levels]
@@ -460,8 +469,8 @@ class PartitionedTrainer:
                             )
                         )
                     level_feats = gather_level_feats(
-                    gather, gather_last, feats, levels, fanouts, dq, axis
-                )
+                        gather, gather_last, feats, levels, fanouts, dq, axis
+                    )
                     logits = model.apply(
                         p, levels, level_feats, lrf,
                         method=model.forward_gathered,

@@ -274,8 +274,8 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                         )
                     )
                 level_feats = gather_level_feats(
-                        gather, gather_last, feats, levels, fanouts, dq, axis
-                    )
+                    gather, gather_last, feats, levels, fanouts, dq, axis
+                )
                 z = model.apply(
                     params, levels, level_feats, lrf,
                     method=model.encode_gathered,

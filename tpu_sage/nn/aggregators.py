@@ -30,6 +30,22 @@ Activation = Optional[Callable[[jnp.ndarray], jnp.ndarray]]
 Dtype = Any  # compute dtype; params stay float32 (flax param_dtype default)
 
 
+def _finish_combine(
+    h_self: jnp.ndarray,
+    h_neigh: jnp.ndarray,
+    combine: str,
+    activation: Activation,
+) -> jnp.ndarray:
+    """Shared combine tail: concat or add the two projected branches."""
+    if combine == "concat":
+        out = jnp.concatenate([h_self, h_neigh], axis=-1)
+    elif combine == "add":
+        out = h_self + h_neigh
+    else:
+        raise ValueError(f"unknown combine: {combine}")
+    return out if activation is None else activation(out)
+
+
 class MeanAggregator(nn.Module):
     """``concat(W_self·x, W_neigh·mean(neighbors))`` (SURVEY.md §2.1).
 
@@ -55,13 +71,7 @@ class MeanAggregator(nn.Module):
                                  dtype=self.dtype, name="fc_neigh")
 
     def _finish(self, h_self: jnp.ndarray, h_neigh: jnp.ndarray) -> jnp.ndarray:
-        if self.combine == "concat":
-            out = jnp.concatenate([h_self, h_neigh], axis=-1)
-        elif self.combine == "add":
-            out = h_self + h_neigh
-        else:
-            raise ValueError(f"unknown combine: {self.combine}")
-        return out if self.activation is None else self.activation(out)
+        return _finish_combine(h_self, h_neigh, self.combine, self.activation)
 
     def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
         return self.combine_from_summary(
@@ -132,14 +142,10 @@ class PoolAggregator(nn.Module):
         self, x_self: jnp.ndarray, summary: jnp.ndarray, fanout: int
     ) -> jnp.ndarray:
         del fanout
-        h_self, h_neigh = self.fc_self(x_self), self.fc_neigh(summary)
-        if self.combine == "concat":
-            out = jnp.concatenate([h_self, h_neigh], axis=-1)
-        elif self.combine == "add":
-            out = h_self + h_neigh
-        else:
-            raise ValueError(f"unknown combine: {self.combine}")
-        return out if self.activation is None else self.activation(out)
+        return _finish_combine(
+            self.fc_self(x_self), self.fc_neigh(summary),
+            self.combine, self.activation,
+        )
 
     def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
         return self.combine_from_summary(
@@ -243,14 +249,10 @@ class LSTMAggregator(nn.Module):
         self, x_self: jnp.ndarray, summary: jnp.ndarray, fanout: int
     ) -> jnp.ndarray:
         del fanout
-        h_self, h_neigh = self.fc_self(x_self), self.fc_neigh(summary)
-        if self.combine == "concat":
-            out = jnp.concatenate([h_self, h_neigh], axis=-1)
-        elif self.combine == "add":
-            out = h_self + h_neigh
-        else:
-            raise ValueError(f"unknown combine: {self.combine}")
-        return out if self.activation is None else self.activation(out)
+        return _finish_combine(
+            self.fc_self(x_self), self.fc_neigh(summary),
+            self.combine, self.activation,
+        )
 
     def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
         return self.combine_from_summary(
@@ -297,14 +299,10 @@ class AttentionAggregator(nn.Module):
         self, x_self: jnp.ndarray, summary: jnp.ndarray, fanout: int
     ) -> jnp.ndarray:
         del fanout
-        h_self, h_neigh = self.fc_self(x_self), self.fc_neigh(summary)
-        if self.combine == "concat":
-            out = jnp.concatenate([h_self, h_neigh], axis=-1)
-        elif self.combine == "add":
-            out = h_self + h_neigh
-        else:
-            raise ValueError(f"unknown combine: {self.combine}")
-        return out if self.activation is None else self.activation(out)
+        return _finish_combine(
+            self.fc_self(x_self), self.fc_neigh(summary),
+            self.combine, self.activation,
+        )
 
     def __call__(self, x_self: jnp.ndarray, x_neigh: jnp.ndarray) -> jnp.ndarray:
         return self.combine_from_summary(
