@@ -22,6 +22,16 @@ run headline python bench.py
 # 2. A/B: chunking off (single fused gather+mean) — isolates the overlap win
 run headline_nochunk env TPU_SAGE_GATHER_CHUNKS=1 python bench.py
 
+# 2b. A/B: round-2e behavior (full last-level gather, unfused summary)
+run headline_nofuse env TPU_SAGE_FUSE_LAST=0 python bench.py
+
+# 2c. per-aggregator fused-summary effect (pools/attention/lstm changed most;
+#     watch lstm — per-chunk scans may regress)
+for agg in gcn max_pool mean_pool attention lstm; do
+  run "agg_$agg" env BENCH_AGG=$agg python bench.py
+  run "agg_${agg}_nofuse" env BENCH_AGG=$agg TPU_SAGE_FUSE_LAST=0 python bench.py
+done
+
 # 3. dense bf16 storage
 run headline_bf16 env BENCH_INT8=0 python bench.py
 

@@ -222,6 +222,36 @@ def test_model_fused_fanout_mean_matches_encode_gathered(agg, monkeypatch):
     )
 
 
+def test_fuse_last_env_gate(monkeypatch):
+    """TPU_SAGE_FUSE_LAST=0 restores the unfused last-level gather (the
+    round-2e A/B escape hatch): the fused op is never called and the
+    logits match the default path."""
+    import tpu_sage.nn.model as M
+    from tpu_sage.nn.model import GSSupervised, default_layer_specs
+
+    rng = np.random.default_rng(21)
+    feats = jnp.asarray(rng.standard_normal((40, 8)), jnp.float32)
+    levels = [
+        jnp.asarray(rng.integers(0, 40, size=n), jnp.int32) for n in (4, 12, 36)
+    ]
+    model = GSSupervised(
+        layer_specs=default_layer_specs((3, 3), output_dims=(8, 8)), n_classes=3
+    )
+    params = model.init(jax.random.key(0), levels, feats)
+    fused = np.asarray(model.apply(params, levels, feats))
+
+    calls = []
+    monkeypatch.setattr(
+        M,
+        "row_gather_fanout_mean",
+        lambda *a, **k: calls.append(1) or (_ for _ in ()).throw(AssertionError),
+    )
+    monkeypatch.setenv("TPU_SAGE_FUSE_LAST", "0")
+    unfused = np.asarray(model.apply(params, levels, feats))
+    assert not calls
+    np.testing.assert_allclose(fused, unfused, rtol=1e-5, atol=1e-6)
+
+
 def test_row_gather_env_override_wins(monkeypatch):
     """TPU_SAGE_GATHER_FORM forces the form regardless of the call-site arg
     (whole-program A/B escape hatch). Read at trace time via ops._FORM_ENV."""

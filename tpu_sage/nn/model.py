@@ -15,6 +15,7 @@ dependent on data.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -162,10 +163,13 @@ class GSSupervised(nn.Module):
         # linear fast path (ops.row_gather_fanout_mean, masked/plain form
         # per the round-2d policy); the rest summarize per chunk through
         # the first aggregator's neigh_summary.
+        # TPU_SAGE_FUSE_LAST=0 restores the round-2e behavior (full last-level
+        # gather, summary inside the aggregator) for whole-program A/B
         fuse_last = (
             feats is not None
             and self.prep_class == "identity"
             and len(levels) >= 2
+            and os.environ.get("TPU_SAGE_FUSE_LAST", "1") == "1"
         )
         gathered = [
             None if feats is None else gather(feats, ids, form=form)
