@@ -27,6 +27,7 @@ node-embedding table rides replicated — acceptable at GraphSAGE scales).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -243,7 +244,8 @@ class PartitionedTrainer:
         )
         # fused deepest-level gather+mean (see make_gather_last): valid only
         # when the first aggregation pass means over the fanout and the prep
-        # is ids-blind and linear
+        # is ids-blind and linear. TPU_SAGE_FUSE_LAST=0 disables (the same
+        # whole-program A/B gate as the single-device path, nn/model.py).
         self.gather_last = (
             make_gather_last(
                 getattr(config, "halo", "exact"),
@@ -252,6 +254,7 @@ class PartitionedTrainer:
             )
             if model.aggregator_class in ("mean", "gcn")
             and model.prep_class == "identity"
+            and os.environ.get("TPU_SAGE_FUSE_LAST", "1") == "1"
             else None
         )
         self._step_fn = None
