@@ -146,11 +146,13 @@ class GSSupervised(nn.Module):
         # mean aggregator's first-layer matmul wants the gather materialized
         # ("masked", −15% whole step); every MLP/softmax-consumer aggregator
         # measured faster with the gather left fusable ("plain"). Plain-form
-        # levels additionally split into independent chunk gathers so their
-        # descriptor streams overlap (ops.row_gather_chunked: gcn −9%,
-        # attention −5% whole step); chunking the masked path instead
-        # REGRESSES it 36% — the concat re-materialization forfeits the
-        # defusion win — so the mean path keeps one gather per level.
+        # NON-deepest levels additionally split into independent chunk
+        # gathers so their descriptor streams overlap
+        # (ops.row_gather_chunked: gcn −9%, attention −5% whole step);
+        # chunking a masked level's RAW rows instead regresses 36% (concat
+        # re-materialization forfeits the defusion win), so masked non-last
+        # levels keep one gather each — the deepest level chunks via the
+        # fused per-root summary below, whose concat is summaries, not rows.
         form = "masked" if self.aggregator_class == "mean" else "plain"
         gather = row_gather if form == "masked" else row_gather_chunked
         # The DEEPEST level's rows have a single consumer — the first
