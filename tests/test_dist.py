@@ -461,3 +461,35 @@ def test_bucketed_partitioned_training_converges(mesh):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all(), losses
     assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+
+
+def test_elastic_resume_across_shard_counts(mesh, tmp_path):
+    """Elastic recovery (SURVEY.md §5.3): a checkpoint written by an 8-shard
+    run resumes on a 4-shard mesh. Params/opt-state/step are replicated, the
+    fold sharding and steps_per_epoch re-derive from the store and batch
+    size, so the shard count is a free deployment choice at resume time."""
+    from tpu_sage.dist.mesh import make_mesh
+    from tpu_sage.dist.train import fit_partitioned
+
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=8,
+                      feat_noise=0.5, seed=51)
+    ckpt = str(tmp_path / "elastic.npz")
+    cfg2 = TrainConfig(batch_size=64, epochs=2, n_train_samples=(5, 3),
+                       n_val_samples=(5, 3), output_dims=(32, 32),
+                       lr_init=0.01)
+    _, _, hist8 = fit_partitioned(store, cfg2, mesh=mesh, log=lambda d: None,
+                                  resume_from=ckpt, checkpoint_every=1)
+    assert hist8[-1]["n_shards"] == 8
+
+    cfg4 = TrainConfig(batch_size=64, epochs=4, n_train_samples=(5, 3),
+                       n_val_samples=(5, 3), output_dims=(32, 32),
+                       lr_init=0.01)
+    recs = []
+    _, _, hist4 = fit_partitioned(store, cfg4, mesh=make_mesh(n_devices=4),
+                                  log=recs.append, resume_from=ckpt)
+    # resumed at epoch 2 (after the 8-shard run's last checkpoint), on 4 shards
+    assert hist4[0]["epoch"] == 2 and hist4[0]["n_shards"] == 4
+    assert np.isfinite([r["train_loss"] for r in hist4]).all()
+    # training continues from the 8-shard optimum, not from scratch
+    assert hist4[0]["train_loss"] < hist8[0]["train_loss"] * 0.9
+    assert hist4[-1]["val_metric"] > 0.5
