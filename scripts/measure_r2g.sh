@@ -8,7 +8,9 @@ cd "$(dirname "$0")/.."
 run() {  # run <name> <cmd...>
   name=$1; shift
   echo "=== $name $(date)" | tee -a "/tmp/r2g_$name.log"
-  "$@" >> "/tmp/r2g_$name.log" 2>&1
+  # cap each run at 1h: axon compiles can take 10-20 min (STATUS.md), but a
+  # hang must not stall the rest of the unattended queue
+  timeout 3600 "$@" >> "/tmp/r2g_$name.log" 2>&1
   echo "--- exit $? $(date)" >> "/tmp/r2g_$name.log"
 }
 
