@@ -49,6 +49,30 @@ def test_train_fit_with_int8_features():
     assert vals and vals[-1] > 0.8, vals
 
 
+def test_all_aggregators_train_with_int8_features():
+    """int8 feature storage is aggregator-agnostic: every aggregator family
+    trains to a sane val metric through the QuantizedFeats gather/dequant
+    path (the prerequisite for defaulting int8 beyond the mean bench
+    config)."""
+    from tpu_sage.data.problem import NodeProblem
+    from tpu_sage.data.synthetic import sbm_store
+    from tpu_sage.train.trainer import TrainConfig, fit
+
+    store = sbm_store(n_nodes=400, n_classes=4, feat_dim=32, max_degree=16,
+                      avg_degree=8, seed=4)
+    problem = NodeProblem(store)
+    for agg in ("gcn", "max_pool", "mean_pool", "attention", "lstm"):
+        config = TrainConfig(
+            n_train_samples=(6, 3), n_val_samples=(6, 3),
+            output_dims=(32, 32), agg_hidden_dim=64, batch_size=64,
+            epochs=5, feature_int8=True, aggregator_class=agg,
+        )
+        history = []
+        fit(problem, config, log=history.append, eval_every_epoch=True)
+        vals = [h["val_metric"] for h in history if "val_metric" in h]
+        assert vals and vals[-1] > 0.7, (agg, vals)
+
+
 def test_unsupervised_with_int8_features():
     from tpu_sage.data.problem import NodeProblem
     from tpu_sage.data.synthetic import sbm_store
