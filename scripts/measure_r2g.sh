@@ -28,10 +28,13 @@ run headline_nochunk env TPU_SAGE_GATHER_CHUNKS=1 python bench.py
 run headline_nofuse env TPU_SAGE_FUSE_LAST=0 python bench.py
 
 # 2c. per-aggregator fused-summary effect (pools/attention/lstm changed most;
-#     watch lstm — per-chunk scans may regress)
+#     watch lstm — per-chunk scans may regress). bf16 storage so the nofuse
+#     arm reproduces the round-2e table rows directly; int8 is now
+#     quality-checked for every aggregator (test_quantize.py) and can be
+#     A/B'd separately once the fusion verdicts are in.
 for agg in gcn max_pool mean_pool attention lstm; do
-  run "agg_$agg" env BENCH_AGG=$agg python bench.py
-  run "agg_${agg}_nofuse" env BENCH_AGG=$agg TPU_SAGE_FUSE_LAST=0 python bench.py
+  run "agg_$agg" env BENCH_AGG=$agg BENCH_INT8=0 python bench.py
+  run "agg_${agg}_nofuse" env BENCH_AGG=$agg BENCH_INT8=0 TPU_SAGE_FUSE_LAST=0 python bench.py
 done
 
 # 3. dense bf16 storage
