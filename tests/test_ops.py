@@ -262,3 +262,33 @@ def test_row_gather_env_override_wins(monkeypatch):
     ids = jnp.asarray([1, 9], jnp.int32)  # 9 is OOB: masked zero-fills, plain clamps
     out = np.asarray(ops.row_gather(table, ids, form="plain"))
     np.testing.assert_array_equal(out[1], 0.0)
+
+
+def test_quantized_fanout_mean_int_sum(monkeypatch):
+    """QuantizedFeats.fanout_mean (exact int32 row sum, one dequant per
+    mean) matches dequantize-then-mean, and TPU_SAGE_INT8_SUMMEAN=0
+    restores the per-row-dequant arithmetic exactly."""
+    import tpu_sage.ops as ops
+    from tpu_sage.data.quantize import quantize_feats
+
+    monkeypatch.setattr(ops, "_N_CHUNKS", 3)
+    monkeypatch.setattr(ops, "_CHUNK_MIN_ROWS", 4)
+    rng = np.random.default_rng(21)
+    feats = rng.standard_normal((40, 7)).astype(np.float32) * 3.0
+    qf = quantize_feats(feats, out_dtype="float32")
+    ids = jnp.asarray(rng.integers(0, 40, size=9 * 5), jnp.int32)
+
+    want = np.asarray(qf[ids]).reshape(9, 5, -1).mean(axis=1)
+    got = np.asarray(ops.row_gather_fanout_mean(qf, ids, 5))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # integer-sum formula verified directly: (sum q) * scale / fanout
+    q = np.asarray(qf.q)[np.asarray(ids)].reshape(9, 5, -1).astype(np.int64)
+    exact = q.sum(axis=1).astype(np.float32) * (
+        np.asarray(qf.scale) / np.float32(5.0)
+    )
+    np.testing.assert_allclose(got, exact, rtol=1e-6, atol=1e-7)
+
+    monkeypatch.setenv("TPU_SAGE_INT8_SUMMEAN", "0")
+    old = np.asarray(ops.row_gather_fanout_mean(qf, ids, 5))
+    np.testing.assert_allclose(old, want, rtol=1e-6, atol=1e-7)

@@ -65,6 +65,29 @@ class QuantizedFeats:
         dt = jnp.dtype(self.out_dtype)
         return rows.astype(dt) * self.scale.astype(dt)
 
+    def fanout_mean(
+        self, ids: jnp.ndarray, n_roots: int, fanout: int,
+        form: str | None = None,
+    ) -> jnp.ndarray:
+        """Gather + fanout-mean with ONE dequantization per mean.
+
+        Sums the raw int8 rows in int32 — exact: ``|sum| ≤ fanout·127``
+        overflows int32 only past fanout 2**24 — then applies
+        ``scale / fanout`` once per output row. Equivalent to
+        mean-of-dequantized-rows up to float rounding *order* (the integer
+        sum is exact, so this is the more precise of the two), and it moves
+        the per-row dequant multiply off the gathered stream: ``fanout×``
+        fewer multiplies and the reduction runs in integer adds.
+        Dispatched from ``ops.row_gather_fanout_mean`` per chunk (masked
+        form zeros OOB rows, which sum as zeros, matching the dense path).
+        """
+        from tpu_sage import ops
+
+        rows = ops.row_gather(self.q, ids, form=form)
+        s = jnp.sum(rows.reshape(n_roots, fanout, rows.shape[-1]).astype(jnp.int32), axis=1)
+        dt = jnp.dtype(self.out_dtype)
+        return (s.astype(jnp.float32) * (self.scale / fanout)).astype(dt)
+
     def dequantize(self) -> jnp.ndarray:
         """The full dense table (for full-graph inference/export)."""
         return self[...]

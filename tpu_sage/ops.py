@@ -122,8 +122,17 @@ def row_gather_fanout_mean(
     """
     n = ids.shape[0]
     n_roots = n // fanout
+    # Tables with their own gather+mean (QuantizedFeats: exact int32 sum of
+    # the raw int8 rows, ONE dequant multiply per mean instead of per row)
+    # summarize each chunk themselves. TPU_SAGE_INT8_SUMMEAN=0 restores
+    # dequantize-then-mean for whole-program A/B (read at trace time).
+    own = getattr(table, "fanout_mean", None)
+    if own is not None and os.environ.get("TPU_SAGE_INT8_SUMMEAN", "1") != "1":
+        own = None
 
     def gather_mean(sub_ids: jnp.ndarray, nb: int) -> jnp.ndarray:
+        if own is not None:
+            return own(sub_ids, nb, fanout, form=form)
         rows = row_gather(table, sub_ids, form=form)
         return jnp.mean(rows.reshape(nb, fanout, rows.shape[-1]), axis=1)
 
