@@ -181,6 +181,7 @@ def bench_store(
     n_classes: int = 41,
     max_degree: int = 128,
     seed: int = 0,
+    cache_dir: Optional[str] = None,
 ) -> GraphStore:
     """Reddit-shaped random graph for throughput benchmarks.
 
@@ -188,7 +189,39 @@ def bench_store(
     after max_degree-128 truncation is ~all-full rows); features are
     class-clustered so training has signal. Built directly as a padded table —
     no edge list materialization at 232k × 128 scale.
+
+    Generation is deterministic in the arguments but costs minutes of host RNG
+    at Reddit scale, so the arrays are cached on disk (``cache_dir``, default
+    ``$TPU_SAGE_BENCH_CACHE`` or ``/tmp/tpu_sage_bench_cache``; set the env to
+    ``0`` to disable) — back-to-back A/B bench runs then pay seconds, not
+    minutes, and draw bit-identical graphs either way.
     """
+    import os
+
+    cache_dir = cache_dir or os.environ.get(
+        "TPU_SAGE_BENCH_CACHE", "/tmp/tpu_sage_bench_cache"
+    )
+    cache_path = None
+    if cache_dir and cache_dir != "0":
+        cache_path = os.path.join(
+            cache_dir,
+            f"bench_store_{n_nodes}_{feat_dim}_{n_classes}_{max_degree}_{seed}.npz",
+        )
+        if os.path.exists(cache_path):
+            with np.load(cache_path) as z:
+                folds = {k: z[f"fold_{k}"] for k in ("train", "val", "test")}
+                return GraphStore(
+                    adj=z["adj"],
+                    degrees=z["degrees"],
+                    train_adj=z["adj"],
+                    train_degrees=z["degrees"],
+                    feats=z["feats"],
+                    targets=z["targets"],
+                    folds=folds,
+                    task="classification",
+                    n_classes=n_classes,
+                )
+
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, n_classes, size=n_nodes)
     adj = rng.integers(0, n_nodes, size=(n_nodes, max_degree), dtype=np.int64).astype(
@@ -198,13 +231,28 @@ def bench_store(
     centroids = rng.normal(size=(n_classes, feat_dim)).astype(np.float32)
     feats = (centroids[labels] + rng.normal(size=(n_nodes, feat_dim))).astype(np.float32)
     folds = _split_folds(n_nodes, rng, val_frac=0.1, test_frac=0.1)
+    targets = labels.astype(np.int64)
+    if cache_path is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        # atomic publish so a concurrent bench never reads a half-written file
+        tmp_path = cache_path + ".tmp.npz"
+        with open(tmp_path, "wb") as f:
+            np.savez(
+                f,
+                adj=adj,
+                degrees=degrees,
+                feats=feats,
+                targets=targets,
+                **{f"fold_{k}": v for k, v in folds.items()},
+            )
+        os.replace(tmp_path, cache_path)
     return GraphStore(
         adj=adj,
         degrees=degrees,
         train_adj=adj,
         train_degrees=degrees,
         feats=feats,
-        targets=labels.astype(np.int64),
+        targets=targets,
         folds=folds,
         task="classification",
         n_classes=n_classes,
