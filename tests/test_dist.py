@@ -493,3 +493,23 @@ def test_elastic_resume_across_shard_counts(mesh, tmp_path):
     # training continues from the 8-shard optimum, not from scratch
     assert hist4[0]["train_loss"] < hist8[0]["train_loss"] * 0.9
     assert hist4[-1]["val_metric"] > 0.5
+
+
+def test_halo_auto_resolution(mesh):
+    """The default halo mode resolves per mesh size: exact at 1 shard, ring
+    multi-shard (the per-mesh winners in SCALING_r02.json); explicit modes
+    pass through untouched."""
+    from tpu_sage.dist.train import resolve_halo_mode
+
+    assert resolve_halo_mode("auto", 1) == "exact"
+    assert resolve_halo_mode("auto", 8) == "ring"
+    for mode in ("exact", "ring", "bucketed"):
+        assert resolve_halo_mode(mode, 1) == mode
+        assert resolve_halo_mode(mode, 8) == mode
+
+    store = sbm_store(n_nodes=256, n_classes=3, feat_dim=8, avg_degree=5, seed=3)
+    cfg = TrainConfig(batch_size=32, epochs=1, n_train_samples=(3, 2),
+                      n_val_samples=(3, 2), output_dims=(16, 16))
+    assert cfg.halo == "auto"
+    trainer, *_ = PartitionedTrainer.from_store(store, cfg, mesh)
+    assert trainer.halo_mode == "ring"  # 8-shard mesh

@@ -67,10 +67,11 @@ def parse_args(argv=None):
     ap.add_argument("--partitioned", action="store_true",
                     help="node-sharded multi-chip training over a 'data' mesh "
                          "of all visible devices (halo-exchange path)")
-    ap.add_argument("--halo", default=None, choices=["exact", "ring", "bucketed"],
+    ap.add_argument("--halo", default=None,
+                    choices=["auto", "exact", "ring", "bucketed"],
                     help="halo-exchange implementation for --partitioned "
-                         "(default exact; ring measured fastest on multi-shard "
-                         "meshes — SCALING_r02.json)")
+                         "(default auto: exact at 1 shard, ring multi-shard — "
+                         "the per-mesh winners in SCALING_r02.json)")
     ap.add_argument("--halo-capacity-factor", type=float, default=None,
                     help="bucketed-halo capacity factor (default 2.0)")
     ap.add_argument("--fuse-first-layer", action="store_true",

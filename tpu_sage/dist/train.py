@@ -48,6 +48,21 @@ from tpu_sage.train.losses import loss_lookup
 from tpu_sage.train.trainer import TrainConfig, TrainState, build_model, build_optimizer
 
 
+def resolve_halo_mode(mode: str, n_shards: int) -> str:
+    """Resolve the config's halo mode to a concrete implementation.
+
+    ``auto`` (the default) picks ``exact`` on a 1-shard mesh and ``ring``
+    otherwise: on the 8-shard mesh ring measured fastest of the three
+    (38.5 vs bucketed 40.9 vs exact 45.4 ms/step, SCALING_r02.json) while at
+    1 shard its degenerate ppermute chain measured worst (11.1 vs 6.3) —
+    explicit modes pass through for A/B and for topologies where exact's
+    all_gather wins.
+    """
+    if mode == "auto":
+        return "exact" if n_shards == 1 else "ring"
+    return mode
+
+
 def make_gather(mode: str, n_shards: int, capacity_factor: float):
     """Pick the halo-exchange implementation (SURVEY.md §5.7).
 
@@ -237,8 +252,11 @@ class PartitionedTrainer:
         self.steps_per_epoch = steps_per_epoch
         self.tx = build_optimizer(config, steps_per_epoch)
         self.batch_per_shard = max(1, config.batch_size // self.n_shards)
+        self.halo_mode = resolve_halo_mode(
+            getattr(config, "halo", "auto"), self.n_shards
+        )
         self.gather = make_gather(
-            getattr(config, "halo", "exact"),
+            self.halo_mode,
             self.n_shards,
             getattr(config, "halo_capacity_factor", 2.0),
         )
@@ -248,7 +266,7 @@ class PartitionedTrainer:
         # whole-program A/B gate as the single-device path, nn/model.py).
         self.gather_last = (
             make_gather_last(
-                getattr(config, "halo", "exact"),
+                self.halo_mode,
                 self.n_shards,
                 getattr(config, "halo_capacity_factor", 2.0),
             )

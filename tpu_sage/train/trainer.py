@@ -76,7 +76,10 @@ class TrainConfig:
     # (halves the resident table AND the dominant gather bytes again —
     # tpu_sage/data/quantize.py; lossy: per-element error ≤ column scale/2)
     fuse_first_layer: bool = False  # whole-table projection trick (mean+identity)
-    halo: str = "exact"  # partitioned-path gather: "exact" | "ring" | "bucketed"
+    halo: str = "auto"  # partitioned-path gather: "auto" | "exact" | "ring" |
+    # "bucketed". "auto" resolves at trainer build: exact on a 1-shard mesh,
+    # ring otherwise (ring measured fastest multi-shard, worst at 1 shard —
+    # SCALING_r02.json; resolution in dist/train.py::resolve_halo_mode)
     halo_capacity_factor: float = 2.0  # bucketed capacity = factor*q/n_shards
 
     @classmethod
