@@ -695,6 +695,8 @@ def fit_partitioned(
     trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(
         store, config, mesh
     )
+    # one line naming the RESOLVED halo implementation (config may say "auto")
+    log({"n_shards": trainer.n_shards, "halo": trainer.halo_mode})
     state = trainer.init_state(feat_dim=store.feat_dim)
     state, start_epoch = resume_state(state, resume_from,
                                       trainer.steps_per_epoch, log)
