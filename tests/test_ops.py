@@ -199,6 +199,10 @@ def test_model_fused_fanout_mean_matches_encode_gathered(agg, monkeypatch):
     # force multi-chunk at these tiny shapes (3 ragged chunks over 8 roots)
     monkeypatch.setattr(ops, "_N_CHUNKS", 3)
     monkeypatch.setattr(ops, "_CHUNK_MIN_ROWS", 8)
+    # lstm is fused only under the 'all' escape hatch (excluded from the
+    # default policy by measurement — nn/model.py); force it here so the
+    # per-chunk LSTM summary math stays covered
+    monkeypatch.setenv("TPU_SAGE_FUSE_LAST", "all")
     rng = np.random.default_rng(13)
     feats = jnp.asarray(rng.standard_normal((60, 12)), jnp.float32)
     levels = [

@@ -166,12 +166,19 @@ class GSSupervised(nn.Module):
         # per the round-2d policy); the rest summarize per chunk through
         # the first aggregator's neigh_summary.
         # TPU_SAGE_FUSE_LAST=0 restores the round-2e behavior (full last-level
-        # gather, summary inside the aggregator) for whole-program A/B
+        # gather, summary inside the aggregator) for whole-program A/B.
+        # LSTM is excluded by measurement: its per-chunk summaries run the
+        # recurrent scan once PER CHUNK and the serial chains don't overlap —
+        # 6.23M fused vs 6.73M unfused edges/s at hidden 512, the one
+        # aggregator where the fusion loses (bench_logs/r2g_agg_lstm*).
+        # TPU_SAGE_FUSE_LAST=all forces it on everywhere (A/B escape hatch).
+        _fuse_env = os.environ.get("TPU_SAGE_FUSE_LAST", "1")
         fuse_last = (
             feats is not None
             and self.prep_class == "identity"
             and len(levels) >= 2
-            and os.environ.get("TPU_SAGE_FUSE_LAST", "1") == "1"
+            and _fuse_env != "0"
+            and (self.aggregator_class != "lstm" or _fuse_env == "all")
         )
         gathered = [
             None if feats is None else gather(feats, ids, form=form)
