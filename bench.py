@@ -15,12 +15,15 @@ max_degree 128), batch 512, fanout (25, 10), 2-layer mean aggregator, hidden
 unit is the jit'd whole-epoch ``lax.scan`` (zero host traffic per step);
 edges/s = steps · B·(f₁ + f₁·f₂) / elapsed, with ``block_until_ready`` fences.
 
-Default feature storage is int8 with per-column scales (BENCH_INT8=0 for the
-dense-bf16 table): the model math is unchanged (bf16 compute either way —
-only the feature-table storage precision differs, the same deviation class
-as bf16-vs-torch-f32 that the baseline comparison already accepts), and
-quality is verified identical at Reddit scale (RESULTS.md: showcase val
-0.9997 int8 vs 0.9995 bf16). The ``feature_storage`` field labels the config.
+Default feature storage is the dense bf16 table (BENCH_INT8=1 for int8 with
+per-column scales). int8 was the default in rounds 2b-2i, when halving the
+gather bytes was worth ~15%; the round-2f fused deepest-level gather+mean
+ships means instead of raw rows, and with it the EXACT bf16 table measures
+faster than int8 (57.35M vs 56.59M edges/s back-to-back, round 2j,
+bench_logs/) — so the headline returned to exactness-mode storage. int8
+stays for the partitioned halo exchange (4× fewer ICI bytes) and HBM-tight
+configs; quality was verified identical at Reddit scale either way
+(RESULTS.md). The ``feature_storage`` field labels the config.
 """
 
 from __future__ import annotations
@@ -73,7 +76,7 @@ def main():
         train=True,
         dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32,
         csr=os.environ.get("BENCH_CSR", "0") == "1",
-        quantize=os.environ.get("BENCH_INT8", "1") == "1",
+        quantize=os.environ.get("BENCH_INT8", "0") == "1",
     )
     state = trainer.init_state(graph)
 
@@ -122,7 +125,7 @@ def main():
         "iqr": [round(float(q1), 1), round(float(q3), 1)],
         "ms_per_step": round(1000.0 * edges_per_step / med, 3),
         "feature_storage": (
-            "int8" if os.environ.get("BENCH_INT8", "1") == "1" else compute_dtype
+            "int8" if os.environ.get("BENCH_INT8", "0") == "1" else compute_dtype
         ),
     }))
     return 0
