@@ -31,8 +31,19 @@ def main():
     from tpu_sage.nn.full_graph import embed_all_nodes
     from tpu_sage.train.trainer import TrainConfig, Trainer, build_model
 
+    def env_int(name, default, minimum=1):
+        raw = os.environ.get(name, str(default))
+        try:
+            v = int(raw)
+        except ValueError:
+            raise SystemExit(f"{name} must be an integer, got {raw!r}")
+        if v < minimum:
+            raise SystemExit(f"{name} must be >= {minimum}, got {v}")
+        return v
+
     aggregator = os.environ.get("BENCH_AGG", "mean")
-    chunk = int(os.environ.get("BENCH_CHUNK", 4096))
+    chunk = env_int("BENCH_CHUNK", 4096)
+    repeats = env_int("BENCH_REPEATS", 5)
     config = TrainConfig(
         aggregator_class=aggregator,
         batch_size=512,
@@ -56,7 +67,6 @@ def main():
     float(jnp.sum(logits))  # host-forced sync (see bench.py note)
     compile_s = time.perf_counter() - t0
 
-    repeats = int(os.environ.get("BENCH_REPEATS", 5))
     per_repeat = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -75,6 +85,7 @@ def main():
         "adj_slots_per_sec": round(n_layers * n * graph.max_degree / med, 1),
         "compile_s": round(compile_s, 2),
         "repeats_ms": [round(1000 * x, 2) for x in per_repeat],
+        "repeats": repeats,
         "chunk": chunk,
         "n_nodes": n,
     }))

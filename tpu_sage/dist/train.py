@@ -48,6 +48,9 @@ from tpu_sage.train.losses import loss_lookup
 from tpu_sage.train.trainer import TrainConfig, TrainState, build_model, build_optimizer
 
 
+HALO_MODES = ("auto", "exact", "ring", "bucketed")
+
+
 def resolve_halo_mode(mode: str, n_shards: int) -> str:
     """Resolve the config's halo mode to a concrete implementation.
 
@@ -58,34 +61,52 @@ def resolve_halo_mode(mode: str, n_shards: int) -> str:
     explicit modes pass through for A/B and for topologies where exact's
     all_gather wins.
     """
+    if mode not in HALO_MODES:
+        raise ValueError(
+            f"unknown halo mode {mode!r}; valid choices: {', '.join(HALO_MODES)}"
+        )
     if mode == "auto":
         return "exact" if n_shards == 1 else "ring"
     return mode
 
 
+def _no_overflow() -> jnp.ndarray:
+    return jnp.zeros((), jnp.int32)
+
+
 def make_gather(mode: str, n_shards: int, capacity_factor: float):
     """Pick the halo-exchange implementation (SURVEY.md §5.7).
+
+    Every implementation returns ``(rows, n_overflow)`` — a () int32 count of
+    queries that exceeded bucket capacity and silently received fallback rows
+    (always 0 for the exact modes). Callers must surface the count: an
+    under-capacity bucketed run degrades quality (overflowed queries get zero
+    feature rows / adjacency self-loops) and the only way to see it is this
+    telemetry (plumbed into step metrics and the per-epoch JSON line).
 
     ``exact``: all_gather + psum_scatter — no drops, comm O(n_dev·q·d).
     ``ring``: ppermute neighbor-hop chain, same bytes as exact but pipelines
     the exchange with the per-hop fill (the ring-attention-style fallback).
     ``bucketed``: MoE-style capacity routing — comm O(capacity·d); queries
-    over capacity fall back to zero rows (adjacency fallback degrades to a
-    self-loop; feature fallback to zero features) — overflow is rare with
-    ``capacity_factor`` ≥ 2 on uniform neighbor distributions.
+    over capacity fall back to zero rows — overflow is rare with
+    ``capacity_factor`` ≥ 2 on uniform neighbor distributions, but must be
+    monitored, hence the count.
     """
     if mode == "exact":
-        return lambda table, ids, axis: dist_gather(table, ids, axis)
+        return lambda table, ids, axis: (dist_gather(table, ids, axis),
+                                         _no_overflow())
     if mode == "ring":
-        return lambda table, ids, axis: dist_gather_ring(table, ids, axis, n_shards)
+        return lambda table, ids, axis: (
+            dist_gather_ring(table, ids, axis, n_shards), _no_overflow()
+        )
 
     def bucketed(table, ids, axis):
         q = ids.shape[0]
         capacity = max(1, int(capacity_factor * q / n_shards))
-        rows, _ = dist_gather_bucketed(
+        rows, n_ovf = dist_gather_bucketed(
             table, ids, axis, n_shards=n_shards, capacity=capacity
         )
-        return rows
+        return rows, n_ovf[0].astype(jnp.int32)
 
     return bucketed
 
@@ -108,22 +129,28 @@ def make_gather_last(mode: str, n_shards: int, capacity_factor: float = 2.0):
     re-enters weighted — omitting the flag silently computes
     ``(x_self + mean)/2`` instead of ``(x_self + f·mean)/(f+1)``); only the
     mean aggregator happens to survive without it (fanout-1 reshape).
+
+    Same ``(rows, n_overflow)`` contract as :func:`make_gather`.
     """
     if mode == "exact":
-        return lambda table, ids, fanout, axis: dist_gather_fanout_mean(
-            table, ids, fanout, axis
+        return lambda table, ids, fanout, axis: (
+            dist_gather_fanout_mean(table, ids, fanout, axis), _no_overflow()
         )
     if mode == "ring":
-        return lambda table, ids, fanout, axis: dist_gather_ring_fanout_mean(
-            table, ids, fanout, axis, n_shards
+        return lambda table, ids, fanout, axis: (
+            dist_gather_ring_fanout_mean(table, ids, fanout, axis, n_shards),
+            _no_overflow(),
         )
 
     def bucketed_mean(table, ids, fanout, axis):
-        rows = make_gather("bucketed", n_shards, capacity_factor)(table, ids, axis)
+        rows, n_ovf = make_gather("bucketed", n_shards, capacity_factor)(
+            table, ids, axis
+        )
         rows = rows.astype(jnp.float32)
-        return jnp.mean(
+        red = jnp.mean(
             rows.reshape((ids.shape[0] // fanout, fanout) + rows.shape[1:]), axis=1
         )
+        return red, n_ovf
 
     return bucketed_mean
 
@@ -138,12 +165,21 @@ def gather_level_feats(gather, gather_last, feats, levels, fanouts, dq, axis):
     via ``combine_from_summary`` (required for gcn's self-spanning reduce —
     see ``make_gather_last``; same contract as the single-device
     ``row_gather_fanout_mean`` path, nn/model.py::encode).
+
+    Returns ``(level_rows, n_overflow)`` — the summed bucketed-halo overflow
+    count across all level exchanges (0 for exact/ring).
     """
-    if gather_last is None:
-        return [dq(gather(feats, l, axis)) for l in levels]
-    out = [dq(gather(feats, l, axis)) for l in levels[:-1]]
-    out.append(dq(gather_last(feats, levels[-1], fanouts[-1], axis)))
-    return out
+    out, ovf = [], _no_overflow()
+    reduced = levels if gather_last is None else levels[:-1]
+    for l in reduced:
+        rows, o = gather(feats, l, axis)
+        out.append(dq(rows))
+        ovf = ovf + o
+    if gather_last is not None:
+        rows, o = gather_last(feats, levels[-1], fanouts[-1], axis)
+        out.append(dq(rows))
+        ovf = ovf + o
+    return out, ovf
 
 
 def epoch_perm(
@@ -207,11 +243,14 @@ def sample_level_distributed(
     fanout: int,
     axis: str,
     gather=None,
-) -> jnp.ndarray:
-    """One sampling hop with remote adjacency rows fetched by halo exchange."""
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One sampling hop with remote adjacency rows fetched by halo exchange.
+
+    Returns ``(neighbor_ids, n_overflow)`` — overflow per the gather's
+    ``(rows, count)`` contract (0 for exact/ring halo modes)."""
     if gather is None:
-        gather = lambda t, i, a: dist_gather(t, i, a)
-    rows = gather(adj_deg, ids, axis)                 # (cur, max_degree+1)
+        gather = lambda t, i, a: (dist_gather(t, i, a), _no_overflow())
+    rows, ovf = gather(adj_deg, ids, axis)            # (cur, max_degree+1)
     r_adj, r_deg = rows[:, :-1], rows[:, -1]
     deg = jnp.maximum(r_deg, 1)
     u = jax.random.uniform(key, (ids.shape[0], fanout))
@@ -222,7 +261,7 @@ def sample_level_distributed(
     nbr = select_columns(r_adj, cols)  # vectorized; avoids TPU element gather
     # degree-0 rows (padding nodes) self-loop, matching single-device semantics
     nbr = jnp.where(r_deg[:, None] == 0, ids[:, None], nbr)
-    return nbr.reshape(-1)
+    return nbr.reshape(-1), ovf
 
 
 class PartitionedTrainer:
@@ -279,6 +318,7 @@ class PartitionedTrainer:
         self._epoch_fns = {}
         self._eval_fn = None
         self._eval_graph = None  # cached (graph, shard_size) for evaluate()
+        self._eval_graph_key = None  # id(store) the cache was built from
 
     # -- construction helpers ----------------------------------------------
 
@@ -381,52 +421,54 @@ class PartitionedTrainer:
             dq = lambda rows: rows.astype(fscale.dtype) * fscale
 
             def fwd(p):
-                levels = [ids]
+                levels, ovf = [ids], _no_overflow()
                 ks = jax.random.split(k_sample, len(fanouts))
                 for i, f in enumerate(fanouts):
-                    levels.append(
-                        sample_level_distributed(
-                            ks[i], adj_deg, levels[-1], f, axis, gather
-                        )
+                    nbr, o = sample_level_distributed(
+                        ks[i], adj_deg, levels[-1], f, axis, gather
                     )
-                level_feats = gather_level_feats(
+                    levels.append(nbr)
+                    ovf = ovf + o
+                level_feats, o = gather_level_feats(
                     gather, gather_last, feats, levels, fanouts, dq, axis
                 )
+                ovf = ovf + o
                 logits = model.apply(
                     p, levels, level_feats, lrf, method=model.forward_gathered
                 )
                 local_loss = loss_fn(logits, tgt)
                 # weight shards by fold occupancy so wrap-padding doesn't skew
                 scale = w / jnp.maximum(lax.psum(w, axis), 1e-12)
-                return local_loss * scale
+                return local_loss * scale, ovf
 
-            loss_s, grads = jax.value_and_grad(fwd)(params)
+            (loss_s, ovf), grads = jax.value_and_grad(fwd, has_aux=True)(params)
             loss = lax.psum(loss_s, axis)
+            ovf = lax.psum(ovf, axis)
             grads = lax.psum(grads, axis)
             updates, new_opt = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
-            return new_params, new_opt, step + 1, key, loss
+            return new_params, new_opt, step + 1, key, loss, ovf
 
         rep, shd = P(), P(axis)
         mapped = shard_map(
             shard_step,
             mesh=self.mesh,
             in_specs=(rep, rep, rep, rep, shd, shd, shd, rep, shd, shd, shd),
-            out_specs=(rep, rep, rep, rep, rep),
+            out_specs=(rep, rep, rep, rep, rep, rep),
             check_vma=False,
         )
 
         @partial(jax.jit, donate_argnums=(0,))
         def step_fn(state: TrainState, graph: DeviceGraph, fold_ids, fold_w):
             new_key = jax.random.fold_in(state.key, state.step)
-            params, opt_state, step, _, loss = mapped(
+            params, opt_state, step, _, loss, ovf = mapped(
                 state.params, state.opt_state, state.step, state.key,
                 graph.adj, graph.degrees, graph.feats, graph.feat_scale,
                 graph.targets, fold_ids, fold_w,
             )
             return (
                 TrainState(params=params, opt_state=opt_state, step=step, key=new_key),
-                {"loss": loss},
+                {"loss": loss, "halo_overflow": ovf},
             )
 
         return step_fn
@@ -481,56 +523,58 @@ class PartitionedTrainer:
                 tgt = targets[ids - offset]
 
                 def fwd(p):
-                    levels = [ids]
+                    levels, ovf = [ids], _no_overflow()
                     ks = jax.random.split(k_sample, len(fanouts))
                     for i, f in enumerate(fanouts):
-                        levels.append(
-                            sample_level_distributed(
-                                ks[i], adj_deg, levels[-1], f, axis, gather
-                            )
+                        nbr, o = sample_level_distributed(
+                            ks[i], adj_deg, levels[-1], f, axis, gather
                         )
-                    level_feats = gather_level_feats(
+                        levels.append(nbr)
+                        ovf = ovf + o
+                    level_feats, o = gather_level_feats(
                         gather, gather_last, feats, levels, fanouts, dq, axis
                     )
+                    ovf = ovf + o
                     logits = model.apply(
                         p, levels, level_feats, lrf,
                         method=model.forward_gathered,
                     )
                     scale = w / jnp.maximum(lax.psum(w, axis), 1e-12)
-                    return loss_fn(logits, tgt) * scale
+                    return loss_fn(logits, tgt) * scale, ovf
 
-                loss_s, grads = jax.value_and_grad(fwd)(params)
+                (loss_s, ovf), grads = jax.value_and_grad(fwd, has_aux=True)(params)
                 loss = lax.psum(loss_s, axis)
+                ovf = lax.psum(ovf, axis)
                 grads = lax.psum(grads, axis)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state, step + 1, perm), loss
+                return (params, opt_state, step + 1, perm), (loss, ovf)
 
-            (params, opt_state, step, _), losses = jax.lax.scan(
+            (params, opt_state, step, _), (losses, ovfs) = jax.lax.scan(
                 body, (params, opt_state, step0, perm0), None, length=n_steps
             )
-            return params, opt_state, step, losses.mean()
+            return params, opt_state, step, losses.mean(), ovfs.sum()
 
         rep, shd = P(), P(axis)
         mapped = shard_map(
             shard_epoch,
             mesh=self.mesh,
             in_specs=(rep, rep, rep, rep, shd, shd, shd, rep, shd, shd, shd),
-            out_specs=(rep, rep, rep, rep),
+            out_specs=(rep, rep, rep, rep, rep),
             check_vma=False,
         )
 
         @partial(jax.jit, donate_argnums=(0,))
         def epoch_fn(state: TrainState, graph: DeviceGraph, fold_ids, fold_w):
             new_key = jax.random.fold_in(state.key, state.step)
-            params, opt_state, step, loss = mapped(
+            params, opt_state, step, loss, ovf = mapped(
                 state.params, state.opt_state, state.step, state.key,
                 graph.adj, graph.degrees, graph.feats, graph.feat_scale,
                 graph.targets, fold_ids, fold_w,
             )
             return (
                 TrainState(params=params, opt_state=opt_state, step=step, key=new_key),
-                {"loss": loss},
+                {"loss": loss, "halo_overflow": ovf},
             )
 
         return epoch_fn
@@ -572,9 +616,9 @@ class PartitionedTrainer:
                     levels.append(
                         sample_level_distributed(
                             ks[i], adj_deg, levels[-1], f, axis, gather
-                        )
+                        )[0]
                     )
-                level_feats = gather_level_feats(
+                level_feats, _ = gather_level_feats(
                     gather, gather_last, feats, levels, fanouts, dq, axis
                 )
                 logits = model.apply(
@@ -622,13 +666,16 @@ class PartitionedTrainer:
         matching ``Trainer.eval_fold``."""
         from tpu_sage.dist.partition import shard_fold_masked
 
-        if self._eval_graph is None:
+        # cache keyed on store identity: evaluating against a different store
+        # must re-shard, not silently reuse the previous store's graph
+        if self._eval_graph is None or self._eval_graph_key != id(store):
             cd = getattr(self.config, "compute_dtype", "float32")
             self._eval_graph = shard_graph(
                 store, self.mesh, train=False, axis=self.axis,
                 feat_dtype=None if cd == "float32" else cd,
                 quantize=getattr(self.config, "feature_int8", False),
             )
+            self._eval_graph_key = id(store)
         graph_full, m = self._eval_graph
         ids, mask = shard_fold_masked(
             store.folds[fold], self.n_shards, m, pad_to_multiple=self.batch_per_shard
@@ -711,6 +758,11 @@ def fit_partitioned(
             "elapsed": round(time.time() - t0, 4),
             "n_shards": trainer.n_shards,
         }
+        if trainer.halo_mode == "bucketed":
+            # visibility for the capacity mechanism's one failure mode: an
+            # under-capacity run silently degrades quality (overflowed
+            # queries got fallback rows) — the count must be in the log
+            rec["halo_overflow"] = int(m["halo_overflow"])
         if eval_every_epoch and len(store.folds["val"]):
             rec["val_metric"] = trainer.evaluate(state, store, fold="val",
                                                  seed=config.seed + 1)

@@ -145,11 +145,12 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
 
                 ids = perm_batch(perm, fold_ids[0], count, t, bps)
                 # positives: wl one-hop halo-sampled hops
-                pos = ids
+                pos, walk_ovf = ids, jnp.zeros((), jnp.int32)
                 for hop_key in jax.random.split(k_walk, wl):
-                    pos = sample_level_distributed(
+                    pos, o = sample_level_distributed(
                         hop_key, adj_deg, pos, 1, axis, gather
                     )
+                    walk_ovf = walk_ovf + o
                 # negatives: global range, uniform or degree-smoothed
                 if with_neg_logits:
                     neg = jax.random.categorical(
@@ -163,17 +164,18 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                 roots = jnp.concatenate([ids.astype(jnp.int32), pos, neg])
 
                 def fwd(p):
-                    levels = [roots]
+                    levels, ovf = [roots], jnp.zeros((), jnp.int32)
                     ks = jax.random.split(k_tree, len(fanouts))
                     for i, f in enumerate(fanouts):
-                        levels.append(
-                            sample_level_distributed(
-                                ks[i], adj_deg, levels[-1], f, axis, gather
-                            )
+                        nbr, o = sample_level_distributed(
+                            ks[i], adj_deg, levels[-1], f, axis, gather
                         )
-                    level_feats = gather_level_feats(
+                        levels.append(nbr)
+                        ovf = ovf + o
+                    level_feats, o = gather_level_feats(
                         gather, gather_last, feats, levels, fanouts, dq, axis
                     )
+                    ovf = ovf + o
                     z = model.apply(
                         p, levels, level_feats, lrf,
                         method=model.encode_gathered,
@@ -183,26 +185,27 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                         z[2 * bps :].reshape(bps, q, -1),
                     )
                     scale = w / jnp.maximum(lax.psum(w, axis), 1e-12)
-                    return nce_loss(z_u, z_p, z_n) * scale
+                    return nce_loss(z_u, z_p, z_n) * scale, ovf
 
-                loss_s, grads = jax.value_and_grad(fwd)(params)
+                (loss_s, ovf), grads = jax.value_and_grad(fwd, has_aux=True)(params)
                 loss = lax.psum(loss_s, axis)
+                ovf = lax.psum(ovf + walk_ovf, axis)
                 grads = lax.psum(grads, axis)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state, step + 1, perm), loss
+                return (params, opt_state, step + 1, perm), (loss, ovf)
 
-            (params, opt_state, step, _), losses = lax.scan(
+            (params, opt_state, step, _), (losses, ovfs) = lax.scan(
                 body, (params, opt_state, step0, perm0), None, length=n_steps
             )
-            return params, opt_state, step, losses.mean()
+            return params, opt_state, step, losses.mean(), ovfs.sum()
 
         rep, shd = P(), P(axis)
         mapped = shard_map(
             shard_epoch,
             mesh=self.mesh,
             in_specs=(rep, rep, rep, rep, shd, shd, shd, rep, shd, shd, rep),
-            out_specs=(rep, rep, rep, rep),
+            out_specs=(rep, rep, rep, rep, rep),
             check_vma=False,
         )
 
@@ -210,7 +213,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         def epoch_fn(state: TrainState, graph: DeviceGraph, fold_ids, fold_w,
                      neg_logits):
             new_key = jax.random.fold_in(state.key, state.step)
-            params, opt_state, step, loss = mapped(
+            params, opt_state, step, loss, ovf = mapped(
                 state.params, state.opt_state, state.step, state.key,
                 graph.adj, graph.degrees, graph.feats, graph.feat_scale,
                 fold_ids, fold_w, neg_logits,
@@ -218,7 +221,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
             return (
                 TrainState(params=params, opt_state=opt_state, step=step,
                            key=new_key),
-                {"loss": loss},
+                {"loss": loss, "halo_overflow": ovf},
             )
 
         return epoch_fn
@@ -271,9 +274,9 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                     levels.append(
                         sample_level_distributed(
                             ks[i], adj_deg, levels[-1], f, axis, gather
-                        )
+                        )[0]
                     )
-                level_feats = gather_level_feats(
+                level_feats, _ = gather_level_feats(
                     gather, gather_last, feats, levels, fanouts, dq, axis
                 )
                 z = model.apply(
@@ -376,6 +379,8 @@ def fit_unsupervised_partitioned(
         rec = {"epoch": epoch, "unsup_loss": float(m["loss"]),
                "elapsed": round(time.time() - t0, 4),
                "n_shards": trainer.n_shards}
+        if trainer.halo_mode == "bucketed":
+            rec["halo_overflow"] = int(m["halo_overflow"])
         history.append(rec)
         log(rec)
         maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log)

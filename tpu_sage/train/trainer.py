@@ -434,13 +434,22 @@ def fit(
         t0 = time.time()
         if val_interval_batches:
             # reference's "eval every N batches" mode (SURVEY.md §3.1): run
-            # the epoch in sub-epoch segments with a validation after each
+            # the epoch in sub-epoch segments with a validation after each.
+            # Segments are drawn from a fresh FULL-EPOCH shuffle (the
+            # reference's protocol is an epoch shuffle with mid-epoch
+            # validation; fixed-order segments with only within-segment
+            # permutation would be a different batch distribution).
+            ep_perm = np.random.default_rng(
+                config.seed * 1_000_003 + epoch
+            ).permutation(len(train_ids))
+            ep_ids = fold_ids[ep_perm]
+            ep_tgt = fold_targets[ep_perm]
             seg = val_interval_batches * config.batch_size
             losses = []
             last_lr = trainer._lr_fn(state.step)
             for start in range(0, len(train_ids) - config.batch_size + 1, seg):
-                seg_ids = fold_ids[start : start + seg]
-                seg_tgt = fold_targets[start : start + seg]
+                seg_ids = ep_ids[start : start + seg]
+                seg_tgt = ep_tgt[start : start + seg]
                 if len(seg_ids) < config.batch_size:
                     break
                 state, m = trainer.train_epoch(state, graph_train, seg_ids, seg_tgt)
