@@ -98,7 +98,7 @@ def test_row_gather_chunked_matches_plain(monkeypatch):
     rng = np.random.default_rng(6)
     table = jnp.asarray(rng.standard_normal((64, 7)), jnp.float32)
 
-    monkeypatch.setattr(ops, "_N_CHUNKS", 4)
+    monkeypatch.setenv("TPU_SAGE_GATHER_CHUNKS", "4")
     monkeypatch.setattr(ops, "_CHUNK_MIN_ROWS", 8)
     for n in (7, 8, 16, 17, 18, 19, 101):  # below threshold, exact, remainders
         ids = jnp.asarray(rng.integers(0, 64, size=n), jnp.int32)
@@ -115,7 +115,7 @@ def test_row_gather_chunked_matches_plain(monkeypatch):
 def test_row_gather_chunked_gradient_and_quantized(monkeypatch):
     import tpu_sage.ops as ops
 
-    monkeypatch.setattr(ops, "_N_CHUNKS", 3)
+    monkeypatch.setenv("TPU_SAGE_GATHER_CHUNKS", "3")
     monkeypatch.setattr(ops, "_CHUNK_MIN_ROWS", 4)
     rng = np.random.default_rng(7)
     table = jnp.asarray(rng.standard_normal((20, 4)), jnp.float32)
@@ -140,7 +140,7 @@ def test_row_gather_fanout_mean_matches_unfused(monkeypatch):
     rng = np.random.default_rng(11)
     table = jnp.asarray(rng.standard_normal((50, 6)), jnp.float32)
 
-    monkeypatch.setattr(ops, "_N_CHUNKS", 4)
+    monkeypatch.setenv("TPU_SAGE_GATHER_CHUNKS", "4")
     monkeypatch.setattr(ops, "_CHUNK_MIN_ROWS", 8)
     for n_roots, fanout in ((16, 3), (17, 3), (3, 5), (2, 4), (1, 9)):
         ids = jnp.asarray(
@@ -154,7 +154,7 @@ def test_row_gather_fanout_mean_matches_unfused(monkeypatch):
 def test_row_gather_fanout_mean_gradient_and_quantized(monkeypatch):
     import tpu_sage.ops as ops
 
-    monkeypatch.setattr(ops, "_N_CHUNKS", 3)
+    monkeypatch.setenv("TPU_SAGE_GATHER_CHUNKS", "3")
     monkeypatch.setattr(ops, "_CHUNK_MIN_ROWS", 4)
     rng = np.random.default_rng(12)
     table = jnp.asarray(rng.standard_normal((30, 5)), jnp.float32)
@@ -197,7 +197,7 @@ def test_model_fused_fanout_mean_matches_encode_gathered(agg, monkeypatch):
     from tpu_sage.nn.model import GSSupervised, default_layer_specs
 
     # force multi-chunk at these tiny shapes (3 ragged chunks over 8 roots)
-    monkeypatch.setattr(ops, "_N_CHUNKS", 3)
+    monkeypatch.setenv("TPU_SAGE_GATHER_CHUNKS", "3")
     monkeypatch.setattr(ops, "_CHUNK_MIN_ROWS", 8)
     # lstm is fused only under the 'all' escape hatch (excluded from the
     # default policy by measurement — nn/model.py); force it here so the
@@ -258,10 +258,11 @@ def test_fuse_last_env_gate(monkeypatch):
 
 def test_row_gather_env_override_wins(monkeypatch):
     """TPU_SAGE_GATHER_FORM forces the form regardless of the call-site arg
-    (whole-program A/B escape hatch). Read at trace time via ops._FORM_ENV."""
+    (whole-program A/B escape hatch). Read at trace time via
+    tpu_sage.overrides.gather_form."""
     import tpu_sage.ops as ops
 
-    monkeypatch.setattr(ops, "_FORM_ENV", "masked")
+    monkeypatch.setenv("TPU_SAGE_GATHER_FORM", "masked")
     table = jnp.arange(12, dtype=jnp.float32).reshape(4, 3)
     ids = jnp.asarray([1, 9], jnp.int32)  # 9 is OOB: masked zero-fills, plain clamps
     out = np.asarray(ops.row_gather(table, ids, form="plain"))
@@ -275,7 +276,7 @@ def test_quantized_fanout_mean_int_sum(monkeypatch):
     import tpu_sage.ops as ops
     from tpu_sage.data.quantize import quantize_feats
 
-    monkeypatch.setattr(ops, "_N_CHUNKS", 3)
+    monkeypatch.setenv("TPU_SAGE_GATHER_CHUNKS", "3")
     monkeypatch.setattr(ops, "_CHUNK_MIN_ROWS", 4)
     rng = np.random.default_rng(21)
     feats = rng.standard_normal((40, 7)).astype(np.float32) * 3.0

@@ -68,15 +68,26 @@ def parse_args(argv=None):
                     help="node-sharded multi-chip training over a 'data' mesh "
                          "of all visible devices (halo-exchange path)")
     ap.add_argument("--halo", default=None,
-                    choices=["auto", "exact", "ring", "bucketed"],
+                    choices=["auto", "exact", "ring", "pipelined", "bucketed"],
                     help="halo-exchange implementation for --partitioned "
                          "(default auto: exact at 1 shard, ring multi-shard — "
-                         "the per-mesh winners in SCALING_r02.json)")
+                         "the per-mesh winners in SCALING_r02.json; 'pipelined' "
+                         "interleaves all levels' ring chains hop-major)")
     ap.add_argument("--halo-capacity-factor", type=float, default=None,
                     help="bucketed-halo capacity factor (default 2.0)")
     ap.add_argument("--fuse-first-layer", action="store_true",
                     help="whole-table projection first layer (mean+identity; "
                          "custom-VJP training path — see RESULTS.md tradeoffs)")
+    ap.add_argument("--gather-form", default=None, choices=["masked", "plain"],
+                    help="force one TPU gather lowering everywhere (default: "
+                         "per-aggregator policy — masked for mean, plain "
+                         "elsewhere; measured in RESULTS.md round 2d)")
+    ap.add_argument("--gather-chunks", type=int, default=None,
+                    help="split big gathers into k independent ops so their "
+                         "descriptor streams overlap (default 4; 1 disables)")
+    ap.add_argument("--fuse-last", default=None, choices=["auto", "off", "all"],
+                    help="deepest-level fused gather+summary (default auto: "
+                         "on for all aggregators except lstm, by measurement)")
     ap.add_argument("--csr-adjacency", action="store_true",
                     help="store the adjacency as CSR on device (nnz ids "
                          "instead of n*max_degree — memory-lean; single-device "
@@ -223,6 +234,12 @@ def main(argv=None):
         flag_values["fuse_first_layer"] = True
     if args.feature_int8:
         flag_values["feature_int8"] = True
+    if args.gather_form is not None:
+        flag_values["gather_form"] = args.gather_form
+    if args.gather_chunks is not None:
+        flag_values["gather_chunks"] = args.gather_chunks
+    if args.fuse_last is not None:
+        flag_values["fuse_last"] = args.fuse_last
     if args.config:
         # preset json is the base; flags PRESENT ON THE COMMAND LINE override
         # it (detected from raw argv so passing a flag's default value still
@@ -254,6 +271,12 @@ def main(argv=None):
             overrides["fuse_first_layer"] = True
         if args.feature_int8:
             overrides["feature_int8"] = True
+        if args.gather_form is not None:
+            overrides["gather_form"] = args.gather_form
+        if args.gather_chunks is not None:
+            overrides["gather_chunks"] = args.gather_chunks
+        if args.fuse_last is not None:
+            overrides["fuse_last"] = args.fuse_last
         config = config.replace(**overrides)
     else:
         config = TrainConfig(**flag_values)
@@ -352,7 +375,7 @@ def main(argv=None):
     if args.checkpoint_path:
         from tpu_sage.train.checkpoint import save_checkpoint
 
-        save_checkpoint(args.checkpoint_path, state)
+        save_checkpoint(args.checkpoint_path, state, config=config)
         print(json.dumps({"checkpoint": args.checkpoint_path}), flush=True)
     return 0
 

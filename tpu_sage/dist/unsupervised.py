@@ -112,6 +112,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         bps = self.batch_per_shard
         gather = self.gather
         gather_last = self.gather_last
+        gather_levels = self.gather_levels
         lrf = fanouts[-1] if gather_last is not None else None
         spe = self.steps_per_epoch
         wl = self.unsup.walk_length
@@ -173,7 +174,8 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                         levels.append(nbr)
                         ovf = ovf + o
                     level_feats, o = gather_level_feats(
-                        gather, gather_last, feats, levels, fanouts, dq, axis
+                        gather, gather_last, feats, levels, fanouts, dq, axis,
+                    gather_levels=gather_levels,
                     )
                     ovf = ovf + o
                     z = model.apply(
@@ -257,6 +259,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         bps = self.batch_per_shard
         gather = self.gather
         gather_last = self.gather_last
+        gather_levels = self.gather_levels
         lrf = fanouts[-1] if gather_last is not None else None
 
         def shard_embed(params, key, adj, deg, feats, fscale, ids):
@@ -277,7 +280,8 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                         )[0]
                     )
                 level_feats, _ = gather_level_feats(
-                    gather, gather_last, feats, levels, fanouts, dq, axis
+                    gather, gather_last, feats, levels, fanouts, dq, axis,
+                    gather_levels=gather_levels,
                 )
                 z = model.apply(
                     params, levels, level_feats, lrf,
@@ -383,5 +387,6 @@ def fit_unsupervised_partitioned(
             rec["halo_overflow"] = int(m["halo_overflow"])
         history.append(rec)
         log(rec)
-        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log)
+        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
+                         config=config)
     return trainer, state, history

@@ -15,13 +15,13 @@ dependent on data.
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from tpu_sage import overrides
 from tpu_sage.nn.aggregators import aggregator_lookup
 from tpu_sage.nn.preps import prep_lookup
 from tpu_sage.ops import row_gather, row_gather_chunked, row_gather_fanout_mean
@@ -110,6 +110,15 @@ class GSSupervised(nn.Module):
     # (mean aggregator + identity prep only): projection and fanout-mean
     # commute, so gathering happens in output_dim space instead of feat_dim
     # space — the dominant HBM gather shrinks by feat_dim/output_dim.
+    #
+    # Measured-perf knobs (TrainConfig fields of the same names; the
+    # TPU_SAGE_* env vars in tpu_sage.overrides remain whole-program A/B
+    # overrides):
+    gather_form: Optional[str] = None  # None = per-aggregator policy (encode)
+    gather_chunks: int = 4             # descriptor-stream overlap chunk count
+    fuse_last: str = "auto"            # deepest-level fused gather+summary:
+    # "auto" (on, except lstm — measured loss), "off", "all" (force incl. lstm)
+    int8_summean: bool = True          # int8 tables: int32-sum then one dequant
 
     def setup(self):
         dtype = jnp.dtype(self.dtype) if self.dtype else None
@@ -153,8 +162,15 @@ class GSSupervised(nn.Module):
         # re-materialization forfeits the defusion win), so masked non-last
         # levels keep one gather each — the deepest level chunks via the
         # fused per-root summary below, whose concat is summaries, not rows.
-        form = "masked" if self.aggregator_class == "mean" else "plain"
-        gather = row_gather if form == "masked" else row_gather_chunked
+        form = overrides.gather_form(self.gather_form) or (
+            "masked" if self.aggregator_class == "mean" else "plain"
+        )
+        if form == "masked":
+            gather = row_gather
+        else:
+            gather = lambda t, i, form: row_gather_chunked(
+                t, i, form=form, n_chunks=self.gather_chunks
+            )
         # The DEEPEST level's rows have a single consumer — the first
         # aggregation pass's per-root neighborhood summary (fanout mean /
         # pooled MLP / attention / LSTM final state), and every summary is
@@ -165,20 +181,20 @@ class GSSupervised(nn.Module):
         # linear fast path (ops.row_gather_fanout_mean, masked/plain form
         # per the round-2d policy); the rest summarize per chunk through
         # the first aggregator's neigh_summary.
-        # TPU_SAGE_FUSE_LAST=0 restores the round-2e behavior (full last-level
+        # fuse_last="off" restores the round-2e behavior (full last-level
         # gather, summary inside the aggregator) for whole-program A/B.
-        # LSTM is excluded by measurement: its per-chunk summaries run the
-        # recurrent scan once PER CHUNK and the serial chains don't overlap —
-        # 6.23M fused vs 6.73M unfused edges/s at hidden 512, the one
-        # aggregator where the fusion loses (bench_logs/r2g_agg_lstm*).
-        # TPU_SAGE_FUSE_LAST=all forces it on everywhere (A/B escape hatch).
-        _fuse_env = os.environ.get("TPU_SAGE_FUSE_LAST", "1")
+        # LSTM is excluded by measurement under "auto": its per-chunk
+        # summaries run the recurrent scan once PER CHUNK and the serial
+        # chains don't overlap — 6.23M fused vs 6.73M unfused edges/s at
+        # hidden 512, the one aggregator where the fusion loses
+        # (bench_logs/r2g_agg_lstm*). fuse_last="all" forces it everywhere.
+        fl = overrides.fuse_last(self.fuse_last)
         fuse_last = (
             feats is not None
             and self.prep_class == "identity"
             and len(levels) >= 2
-            and _fuse_env != "0"
-            and (self.aggregator_class != "lstm" or _fuse_env == "all")
+            and fl != "off"
+            and (self.aggregator_class != "lstm" or fl == "all")
         )
         gathered = [
             None if feats is None else gather(feats, ids, form=form)
@@ -189,7 +205,11 @@ class GSSupervised(nn.Module):
         fanout = levels[-1].shape[0] // levels[-2].shape[0]
         if self.aggregator_class in ("mean", "gcn"):
             gathered.append(
-                row_gather_fanout_mean(feats, levels[-1], fanout, form=form)
+                row_gather_fanout_mean(
+                    feats, levels[-1], fanout, form=form,
+                    n_chunks=self.gather_chunks,
+                    int8_summean=self.int8_summean,
+                )
             )
         else:
             gathered.append(
@@ -213,14 +233,15 @@ class GSSupervised(nn.Module):
         exactly per chunk; the concat re-materializes only the summaries.
         ``x_self_rows`` are the (identity-prep'd) level-(L-1) rows, chunked
         in step (attention's queries)."""
-        from tpu_sage.ops import _CHUNK_MIN_ROWS, _N_CHUNKS
+        from tpu_sage.ops import _CHUNK_MIN_ROWS
 
+        n_chunks = overrides.gather_chunks(self.gather_chunks)
         agg0 = self.agg_layers[0]
         n_roots = levels[-2].shape[0]
         n = levels[-1].shape[0]
         nc = (
-            _N_CHUNKS
-            if _N_CHUNKS > 1 and n >= _CHUNK_MIN_ROWS and n_roots >= _N_CHUNKS
+            n_chunks
+            if n_chunks > 1 and n >= _CHUNK_MIN_ROWS and n_roots >= n_chunks
             else 1
         )
         cb = -(-n_roots // nc)  # roots per chunk (ceil)

@@ -28,14 +28,9 @@ nothing in the framework relies on OOB clamping.
 
 from __future__ import annotations
 
-import os
-
 import jax.numpy as jnp
 
-# Ablation/escape hatch: TPU_SAGE_GATHER_FORM=masked|plain overrides every
-# call site's ``form`` argument (read at trace time; used by scripts/bench_*
-# for same-session whole-program A/B). Unset in production.
-_FORM_ENV = os.environ.get("TPU_SAGE_GATHER_FORM")
+from tpu_sage import overrides
 
 
 def row_gather(table: jnp.ndarray, ids: jnp.ndarray, form: str | None = None) -> jnp.ndarray:
@@ -60,11 +55,16 @@ def row_gather(table: jnp.ndarray, ids: jnp.ndarray, form: str | None = None) ->
     ``"plain"`` keeps XLA's clamp semantics. Tables that know how to gather
     themselves (``QuantizedFeats``: mask the int8 rows, dequantize after)
     are dispatched to their own ``row_gather`` method.
+
+    ``form`` normally arrives from the model's config-driven policy
+    (``TrainConfig.gather_form``, nn/model.py::encode);
+    ``TPU_SAGE_GATHER_FORM`` remains a whole-program A/B override
+    (tpu_sage.overrides).
     """
     own = getattr(table, "row_gather", None)
     if own is not None:
         return own(ids, form=form)
-    form = _FORM_ENV or form or "masked"
+    form = overrides.gather_form(form) or "masked"
     if form == "plain":
         return table[ids]
     m = table.shape[0]
@@ -73,18 +73,22 @@ def row_gather(table: jnp.ndarray, ids: jnp.ndarray, form: str | None = None) ->
     return jnp.where(ok.reshape(ok.shape + (1,) * (rows.ndim - ok.ndim)), rows, 0)
 
 
-# Chunked-gather knobs (read at trace time). XLA issues gather descriptors
-# serially PER OP but runs independent gather ops concurrently, so splitting
-# one big gather into chunks overlaps the descriptor streams: the 141k-row
-# Reddit feature gather measures 3.06 -> 2.00 ms at 4 chunks, flat at 8
+# Chunked gathers: XLA issues gather descriptors serially PER OP but runs
+# independent gather ops concurrently, so splitting one big gather into
+# chunks overlaps the descriptor streams: the 141k-row Reddit feature gather
+# measures 3.06 -> 2.00 ms at 4 chunks, flat at 8
 # (scripts/bench_gather_split.py — the overlapped floor is ~14 ns/row).
-# TPU_SAGE_GATHER_CHUNKS=1 disables for whole-program A/B.
-_N_CHUNKS = int(os.environ.get("TPU_SAGE_GATHER_CHUNKS", "4"))
+# The chunk count is config-driven (TrainConfig.gather_chunks, default 4);
+# TPU_SAGE_GATHER_CHUNKS=1 disables for whole-program A/B (tpu_sage.overrides).
+DEFAULT_CHUNKS = 4
 _CHUNK_MIN_ROWS = 4096  # below this the extra ops cost more than they overlap
 
 
 def row_gather_chunked(
-    table: jnp.ndarray, ids: jnp.ndarray, form: str | None = None
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    form: str | None = None,
+    n_chunks: int = DEFAULT_CHUNKS,
 ) -> jnp.ndarray:
     """``row_gather`` split into independent chunk gathers for overlap.
 
@@ -93,20 +97,26 @@ def row_gather_chunked(
     one gather for small/non-flat ``ids`` (the overlap only pays above
     ~4k rows) and when chunking is disabled.
     """
+    n_chunks = overrides.gather_chunks(n_chunks)
     n = ids.shape[0] if ids.ndim == 1 else 0
-    if _N_CHUNKS <= 1 or n < _CHUNK_MIN_ROWS:
+    if n_chunks <= 1 or n < _CHUNK_MIN_ROWS:
         return row_gather(table, ids, form=form)
-    c = -(-n // _N_CHUNKS)  # ceil; the last chunk takes the remainder
+    c = -(-n // n_chunks)  # ceil; the last chunk takes the remainder
     parts = [
         row_gather(table, ids[j * c : min((j + 1) * c, n)], form=form)
-        for j in range(_N_CHUNKS)
+        for j in range(n_chunks)
         if j * c < n
     ]
     return jnp.concatenate(parts, axis=0)
 
 
 def row_gather_fanout_mean(
-    table: jnp.ndarray, ids: jnp.ndarray, fanout: int, form: str | None = None
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    fanout: int,
+    form: str | None = None,
+    n_chunks: int = DEFAULT_CHUNKS,
+    int8_summean: bool = True,
 ) -> jnp.ndarray:
     """Gather flat ``ids`` and mean over trailing ``fanout`` groups, chunked.
 
@@ -120,14 +130,15 @@ def row_gather_fanout_mean(
     rows' sole consumer is the fanout mean — i.e. the DEEPEST tree level
     under the mean aggregator with an ids-blind linear prep.
     """
+    n_chunks = overrides.gather_chunks(n_chunks)
     n = ids.shape[0]
     n_roots = n // fanout
     # Tables with their own gather+mean (QuantizedFeats: exact int32 sum of
     # the raw int8 rows, ONE dequant multiply per mean instead of per row)
-    # summarize each chunk themselves. TPU_SAGE_INT8_SUMMEAN=0 restores
-    # dequantize-then-mean for whole-program A/B (read at trace time).
+    # summarize each chunk themselves. ``int8_summean=False`` (config field /
+    # TPU_SAGE_INT8_SUMMEAN=0) restores dequantize-then-mean for A/B.
     own = getattr(table, "fanout_mean", None)
-    if own is not None and os.environ.get("TPU_SAGE_INT8_SUMMEAN", "1") != "1":
+    if own is not None and not overrides.int8_summean(int8_summean):
         own = None
 
     def gather_mean(sub_ids: jnp.ndarray, nb: int) -> jnp.ndarray:
@@ -136,15 +147,15 @@ def row_gather_fanout_mean(
         rows = row_gather(table, sub_ids, form=form)
         return jnp.mean(rows.reshape(nb, fanout, rows.shape[-1]), axis=1)
 
-    if _N_CHUNKS <= 1 or n < _CHUNK_MIN_ROWS or n_roots < _N_CHUNKS:
+    if n_chunks <= 1 or n < _CHUNK_MIN_ROWS or n_roots < n_chunks:
         return gather_mean(ids, n_roots)
-    cb = -(-n_roots // _N_CHUNKS)  # roots per chunk (ceil)
+    cb = -(-n_roots // n_chunks)  # roots per chunk (ceil)
     parts = [
         gather_mean(
             ids[j * cb * fanout : min((j + 1) * cb, n_roots) * fanout],
             min((j + 1) * cb, n_roots) - j * cb,
         )
-        for j in range(_N_CHUNKS)
+        for j in range(n_chunks)
         if j * cb < n_roots
     ]
     return jnp.concatenate(parts, axis=0)

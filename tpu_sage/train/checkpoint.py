@@ -33,17 +33,40 @@ def _flatten_with_paths(tree: Any):
     ]
 
 
-def save_checkpoint(path: str, state: TrainState) -> None:
-    """Write the full TrainState to ``path`` (.npz)."""
+def save_checkpoint(path: str, state: TrainState, config=None) -> None:
+    """Write the full TrainState to ``path`` (.npz).
+
+    ``config`` (a TrainConfig) is recorded as a ``__config__`` JSON string so
+    a checkpoint carries the knobs it was trained with (incl. the measured
+    perf knobs — gather_form/gather_chunks/fuse_last/int8_summean); restore
+    ignores it structurally, ``read_checkpoint_config`` reads it back."""
+    import dataclasses as _dc
+    import json as _json
+
     d = os.path.dirname(os.path.abspath(path))
     if d:
         os.makedirs(d, exist_ok=True)
     # PRNG keys are opaque typed arrays; persist their raw uint32 data
     storable = state.replace(key=jax.random.key_data(state.key))
     flat = {k: np.asarray(v) for k, v in _flatten_with_paths(storable)}
+    if config is not None:
+        flat["__config__"] = np.array(
+            _json.dumps(_dc.asdict(config), default=list)
+        )
     tmp = path + ".tmp.npz"
     np.savez(tmp, **flat)
     os.replace(tmp, path)
+
+
+def read_checkpoint_config(path: str):
+    """The ``__config__`` dict stored by ``save_checkpoint`` (None if the
+    checkpoint predates config recording)."""
+    import json as _json
+
+    with np.load(path) as data:
+        if "__config__" not in data.files:
+            return None
+        return _json.loads(str(data["__config__"]))
 
 
 def resume_state(state: TrainState, resume_from, steps_per_epoch: int, log):
@@ -60,7 +83,7 @@ def resume_state(state: TrainState, resume_from, steps_per_epoch: int, log):
 
 
 def maybe_checkpoint(state: TrainState, resume_from, checkpoint_every: int,
-                     epoch: int, log) -> None:
+                     epoch: int, log, config=None) -> None:
     """Shared periodic-save step: write ``resume_from`` every
     ``checkpoint_every`` epochs (SURVEY.md §5.4 "every N steps and at end";
     the product step unit is the scanned epoch)."""
@@ -68,7 +91,7 @@ def maybe_checkpoint(state: TrainState, resume_from, checkpoint_every: int,
         checkpoint_every > 0 and resume_from
         and (epoch + 1) % checkpoint_every == 0
     ):
-        save_checkpoint(resume_from, state)
+        save_checkpoint(resume_from, state, config=config)
         log({"checkpoint": resume_from, "step": int(state.step)})
 
 

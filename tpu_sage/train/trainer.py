@@ -76,6 +76,16 @@ class TrainConfig:
     # (halves the resident table AND the dominant gather bytes again —
     # tpu_sage/data/quantize.py; lossy: per-element error ≤ column scale/2)
     fuse_first_layer: bool = False  # whole-table projection trick (mean+identity)
+    # Measured-perf gather knobs (round-2 A/B results baked in as defaults;
+    # TPU_SAGE_* env vars remain whole-program overrides — tpu_sage.overrides):
+    gather_form: Optional[str] = None  # None = per-aggregator policy
+    # ("masked" for mean — forces the gather to materialize, −15% whole step;
+    # "plain" elsewhere — lets XLA fuse gather into the MLP/softmax consumer)
+    gather_chunks: int = 4  # split big gathers into k independent ops so
+    # their descriptor streams overlap (~21.7 → 14.2 ns/row at 4)
+    fuse_last: str = "auto"  # deepest-level fused gather+summary:
+    # "auto" (on, except lstm — measured −7%), "off", "all"
+    int8_summean: bool = True  # int8 tables: exact int32 sum + one dequant
     halo: str = "auto"  # partitioned-path gather: "auto" | "exact" | "ring" |
     # "bucketed". "auto" resolves at trainer build: exact on a 1-shard mesh,
     # ring otherwise (ring measured fastest multi-shard, worst at 1 shard —
@@ -123,6 +133,10 @@ def build_model(config: TrainConfig, n_nodes: int, n_classes: int) -> GSSupervis
         agg_hidden_dim=config.agg_hidden_dim,
         dtype=None if config.compute_dtype == "float32" else config.compute_dtype,
         fuse_first_layer=config.fuse_first_layer,
+        gather_form=config.gather_form,
+        gather_chunks=config.gather_chunks,
+        fuse_last=config.fuse_last,
+        int8_summean=config.int8_summean,
     )
 
 
@@ -475,7 +489,8 @@ def fit(
             rec = validate(rec)
         history.append(rec)
         log(rec)
-        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log)
+        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
+                         config=config)
 
     test_ids = problem.folds.get("test", np.array([], dtype=np.int64))
     if eval_every_epoch and len(test_ids):

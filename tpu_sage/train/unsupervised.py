@@ -268,5 +268,6 @@ def fit_unsupervised(
                "elapsed": round(time.time() - t0, 4)}
         history.append(rec)
         log(rec)
-        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log)
+        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
+                         config=config)
     return trainer, state, history
