@@ -104,7 +104,8 @@ def main(argv=None):
 
     if platform == "cpu" and n_dev >= 8:
         for halo, int8 in (("exact", False), ("ring", False),
-                           ("bucketed", False), ("exact", True)):
+                           ("pipelined", False), ("bucketed", False),
+                           ("exact", True), ("pipelined", True)):
             times = [
                 time_partitioned(halo, args.nodes, args.feat_dim,
                                  args.batch_size, args.steps, fanouts,

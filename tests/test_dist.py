@@ -607,3 +607,76 @@ def test_partitioned_eval_rekeys_on_new_store(mesh):
     assert acc_b < 0.3, (acc_a, acc_b)
     # and switching back re-keys again
     assert trainer.evaluate(state, store, fold="val", seed=1) == acc_a
+
+
+def test_pipelined_ring_bitwise_matches_per_level(mesh):
+    """The hop-major interleaved ring (SURVEY.md §5.7 'Overlap') returns
+    answers bitwise-identical to the per-level ring functions, with and
+    without last-level pre-reduction."""
+    from tpu_sage.dist.halo import (dist_gather_ring,
+                                    dist_gather_ring_fanout_mean,
+                                    dist_gather_ring_pipelined)
+
+    n, d = 64, 16
+    table, table_d = _sharded_table(mesh, n, d, seed=9)
+    rng = np.random.default_rng(10)
+    sizes = (16, 48, 240)  # three levels per shard, last = 48*5 fanout groups
+    ids = [rng.integers(0, n, size=(8, q)).astype(np.int32) for q in sizes]
+    ids_d = [
+        jax.device_put(jnp.asarray(a.reshape(-1)), NamedSharding(mesh, P("data")))
+        for a in ids
+    ]
+
+    def run_pipelined(last_fanout):
+        return shard_map(
+            lambda t, a, b, c: tuple(
+                dist_gather_ring_pipelined(t, [a, b, c], "data", 8,
+                                           last_fanout=last_fanout)
+            ),
+            mesh=mesh, in_specs=(P("data"),) * 4, out_specs=(P("data"),) * 3,
+            check_vma=False,
+        )(table_d, *ids_d)
+
+    def run_per_level(last_fanout):
+        outs = []
+        for i, a in enumerate(ids_d):
+            if last_fanout is not None and i == 2:
+                fn = lambda t, x: dist_gather_ring_fanout_mean(
+                    t, x, last_fanout, "data", 8)
+            else:
+                fn = lambda t, x: dist_gather_ring(t, x, "data", 8)
+            outs.append(shard_map(
+                fn, mesh=mesh, in_specs=(P("data"), P("data")),
+                out_specs=P("data"), check_vma=False,
+            )(table_d, a))
+        return outs
+
+    for lf in (None, 5):
+        got = run_pipelined(lf)
+        want = run_per_level(lf)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        # and exactness vs the plain local gather for the unreduced levels
+        for i in (0, 1):
+            np.testing.assert_array_equal(
+                np.asarray(got[i]), table[ids[i].reshape(-1)]
+            )
+
+
+def test_partitioned_training_pipelined_halo(mesh):
+    """The pipelined halo mode trains and converges like ring (same math,
+    interleaved schedule)."""
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=6, seed=12)
+    cfg = TrainConfig(batch_size=64, epochs=1, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32), lr_init=0.01,
+                      halo="pipelined")
+    trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(store, cfg, mesh)
+    assert trainer.gather_levels is not None
+    state = trainer.init_state(feat_dim=store.feat_dim)
+    losses = []
+    for _ in range(30):
+        state, metrics = trainer.train_step(state, graph, fold_ids, fold_w)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
+    assert trainer.evaluate(state, store, fold="val", seed=1) > 0.5

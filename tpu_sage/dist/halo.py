@@ -180,6 +180,80 @@ def dist_gather_ring(
     return lax.ppermute(buf_ans, axis_name, perm)
 
 
+def dist_gather_ring_pipelined(
+    local_table: jnp.ndarray,       # (m, d) rows owned by this shard
+    ids_list,                       # [(q_l,) GLOBAL ids] one entry per level
+    axis_name: str,
+    n_shards: int,
+    last_fanout: Optional[int] = None,
+):
+    """Hop-major interleaved ring exchange for several query sets against the
+    SAME sharded table — the explicit halo/compute overlap pipeline
+    (SURVEY.md §5.7 "Overlap: double-buffer").
+
+    ``dist_gather_ring`` serializes one complete n-hop chain per level: level
+    l+1's first ppermute cannot be issued until level l's last fill returns.
+    Here the chains interleave HOP-MAJOR: each ring step first issues EVERY
+    level's (ids ‖ answers) rotation back to back, then runs every level's
+    fill — buffer l's ppermute has no data dependence on buffer l±1's fill,
+    so the scheduler can run one level's ICI rotation under another level's
+    fill compute instead of idling the link between chains.
+
+    With ``last_fanout`` set, the LAST level's answers rotate PRE-REDUCED to
+    per-root fanout means (``dist_gather_ring_fanout_mean``'s contract:
+    float32, ``fanout×`` less traffic); the caller must pass
+    ``last_reduced_fanout`` downstream exactly as for ``make_gather_last``.
+
+    Returns a list of per-level answers, element-identical to calling the
+    per-level ring functions (tested bitwise on the 8-device CPU mesh).
+    """
+    m = local_table.shape[0]
+    my = lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    n_levels = len(ids_list)
+
+    def owned_rows(buf_ids):
+        offset = my * m
+        local_idx = jnp.clip(buf_ids - offset, 0, m - 1)
+        rows = local_table[local_idx]
+        owned = (buf_ids >= offset) & (buf_ids < offset + m)
+        return rows, owned
+
+    def fill(buf_ids, buf_ans):
+        rows, owned = owned_rows(buf_ids)
+        return jnp.where(
+            owned.reshape(owned.shape + (1,) * (rows.ndim - 1)), rows, buf_ans
+        )
+
+    def contrib(buf_ids):
+        qf = buf_ids.shape[0] // last_fanout
+        rows, owned = owned_rows(buf_ids)
+        rows = jnp.where(
+            owned.reshape(owned.shape + (1,) * (rows.ndim - 1)), rows, 0
+        ).astype(jnp.float32)
+        return jnp.mean(rows.reshape((qf, last_fanout) + rows.shape[1:]), axis=1)
+
+    def reduced(l):
+        return last_fanout is not None and l == n_levels - 1
+
+    # home fill, then n-1 interleaved rotate-all / fill-all hops
+    bufs = []
+    for l, ids in enumerate(ids_list):
+        if reduced(l):
+            bufs.append([ids, contrib(ids)])
+        else:
+            ans = jnp.zeros(ids.shape + local_table.shape[1:], local_table.dtype)
+            bufs.append([ids, fill(ids, ans)])
+    for _ in range(n_shards - 1):
+        for b in bufs:  # all rotations issued before any fill consumes them
+            b[0] = lax.ppermute(b[0], axis_name, perm)
+            b[1] = lax.ppermute(b[1], axis_name, perm)
+        for l, b in enumerate(bufs):
+            b[1] = (b[1] + contrib(b[0])) if reduced(l) else fill(b[0], b[1])
+    # one final hop brings every buffer back to its origin shard
+    return [lax.ppermute(b[1], axis_name, perm) for b in bufs]
+
+
 def dist_gather_bucketed(
     local_table: jnp.ndarray,   # (m, d)
     ids: jnp.ndarray,           # (q,) global ids

@@ -27,7 +27,6 @@ node-embedding table rides replicated — acceptable at GraphSAGE scales).
 
 from __future__ import annotations
 
-import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -38,9 +37,11 @@ import optax
 from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from tpu_sage import overrides
 from tpu_sage.dist.halo import (dist_gather, dist_gather_bucketed,
                                 dist_gather_fanout_mean, dist_gather_ring,
-                                dist_gather_ring_fanout_mean)
+                                dist_gather_ring_fanout_mean,
+                                dist_gather_ring_pipelined)
 from tpu_sage.dist.partition import shard_fold, shard_graph
 from tpu_sage.graph.graph_data import DeviceGraph, GraphStore
 from tpu_sage.nn.model import GSSupervised
@@ -48,7 +49,7 @@ from tpu_sage.train.losses import loss_lookup
 from tpu_sage.train.trainer import TrainConfig, TrainState, build_model, build_optimizer
 
 
-HALO_MODES = ("auto", "exact", "ring", "bucketed")
+HALO_MODES = ("auto", "exact", "ring", "pipelined", "bucketed")
 
 
 def resolve_halo_mode(mode: str, n_shards: int) -> str:
@@ -95,7 +96,10 @@ def make_gather(mode: str, n_shards: int, capacity_factor: float):
     if mode == "exact":
         return lambda table, ids, axis: (dist_gather(table, ids, axis),
                                          _no_overflow())
-    if mode == "ring":
+    if mode in ("ring", "pipelined"):
+        # pipelined differs only on the LEVEL-FEATURE exchange (see
+        # make_gather_levels); sampling hops are data-dependent chains and
+        # gather one level at a time either way
         return lambda table, ids, axis: (
             dist_gather_ring(table, ids, axis, n_shards), _no_overflow()
         )
@@ -136,7 +140,7 @@ def make_gather_last(mode: str, n_shards: int, capacity_factor: float = 2.0):
         return lambda table, ids, fanout, axis: (
             dist_gather_fanout_mean(table, ids, fanout, axis), _no_overflow()
         )
-    if mode == "ring":
+    if mode in ("ring", "pipelined"):
         return lambda table, ids, fanout, axis: (
             dist_gather_ring_fanout_mean(table, ids, fanout, axis, n_shards),
             _no_overflow(),
@@ -155,7 +159,29 @@ def make_gather_last(mode: str, n_shards: int, capacity_factor: float = 2.0):
     return bucketed_mean
 
 
-def gather_level_feats(gather, gather_last, feats, levels, fanouts, dq, axis):
+def make_gather_levels(mode: str, n_shards: int):
+    """Joint ALL-LEVELS feature exchange for the ``pipelined`` halo mode.
+
+    Returns ``fn(table, levels, last_fanout, axis) -> (rows_list, ovf)`` or
+    None for every other mode (they exchange level by level). The pipelined
+    exchange interleaves the levels' ring chains hop-major so one level's
+    ppermute rides the ICI while another level's fill computes — the explicit
+    overlap structure of SURVEY.md §5.7 (halo.dist_gather_ring_pipelined).
+    """
+    if mode != "pipelined":
+        return None
+
+    def gather_levels(table, levels, last_fanout, axis):
+        outs = dist_gather_ring_pipelined(
+            table, levels, axis, n_shards, last_fanout=last_fanout
+        )
+        return outs, _no_overflow()
+
+    return gather_levels
+
+
+def gather_level_feats(gather, gather_last, feats, levels, fanouts, dq, axis,
+                       gather_levels=None):
     """Halo-gather every level's feature rows (the halo exchange proper).
 
     With ``gather_last`` set (mean/gcn aggregator + ids-blind prep), the
@@ -168,7 +194,16 @@ def gather_level_feats(gather, gather_last, feats, levels, fanouts, dq, axis):
 
     Returns ``(level_rows, n_overflow)`` — the summed bucketed-halo overflow
     count across all level exchanges (0 for exact/ring).
+
+    With ``gather_levels`` set (pipelined mode) every level ships in ONE
+    hop-major interleaved ring; ``gather``/``gather_last`` are bypassed but
+    the pre-reduction contract is identical (``gather_last is not None`` ⇔
+    the deepest level arrives as per-root means).
     """
+    if gather_levels is not None:
+        lf = fanouts[-1] if gather_last is not None else None
+        rows_list, ovf = gather_levels(feats, levels, lf, axis)
+        return [dq(r) for r in rows_list], ovf
     out, ovf = [], _no_overflow()
     reduced = levels if gather_last is None else levels[:-1]
     for l in reduced:
@@ -301,8 +336,11 @@ class PartitionedTrainer:
         )
         # fused deepest-level gather+mean (see make_gather_last): valid only
         # when the first aggregation pass means over the fanout and the prep
-        # is ids-blind and linear. TPU_SAGE_FUSE_LAST=0 disables (the same
-        # whole-program A/B gate as the single-device path, nn/model.py).
+        # is ids-blind and linear. config.fuse_last="off" disables (the same
+        # whole-program A/B gate as the single-device path, nn/model.py);
+        # "all" behaves like "auto" here — the fusion is already gated to
+        # mean/gcn, so the lstm carve-out "all" flips never applies.
+        fl = overrides.fuse_last(getattr(config, "fuse_last", "auto"))
         self.gather_last = (
             make_gather_last(
                 self.halo_mode,
@@ -311,9 +349,10 @@ class PartitionedTrainer:
             )
             if model.aggregator_class in ("mean", "gcn")
             and model.prep_class == "identity"
-            and os.environ.get("TPU_SAGE_FUSE_LAST", "1") == "1"
+            and fl != "off"
             else None
         )
+        self.gather_levels = make_gather_levels(self.halo_mode, self.n_shards)
         self._step_fn = None
         self._epoch_fns = {}
         self._eval_fn = None
@@ -395,6 +434,7 @@ class PartitionedTrainer:
         bps = self.batch_per_shard
         gather = self.gather
         gather_last = self.gather_last
+        gather_levels = self.gather_levels
         lrf = fanouts[-1] if gather_last is not None else None
         spe = self.steps_per_epoch
         perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
@@ -430,7 +470,8 @@ class PartitionedTrainer:
                     levels.append(nbr)
                     ovf = ovf + o
                 level_feats, o = gather_level_feats(
-                    gather, gather_last, feats, levels, fanouts, dq, axis
+                    gather, gather_last, feats, levels, fanouts, dq, axis,
+                    gather_levels=gather_levels,
                 )
                 ovf = ovf + o
                 logits = model.apply(
@@ -489,6 +530,7 @@ class PartitionedTrainer:
         bps = self.batch_per_shard
         gather = self.gather
         gather_last = self.gather_last
+        gather_levels = self.gather_levels
         lrf = fanouts[-1] if gather_last is not None else None
         spe = self.steps_per_epoch
         perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
@@ -532,7 +574,8 @@ class PartitionedTrainer:
                         levels.append(nbr)
                         ovf = ovf + o
                     level_feats, o = gather_level_feats(
-                        gather, gather_last, feats, levels, fanouts, dq, axis
+                        gather, gather_last, feats, levels, fanouts, dq, axis,
+                    gather_levels=gather_levels,
                     )
                     ovf = ovf + o
                     logits = model.apply(
@@ -596,6 +639,7 @@ class PartitionedTrainer:
         bps = self.batch_per_shard
         gather = self.gather
         gather_last = self.gather_last
+        gather_levels = self.gather_levels
         lrf = fanouts[-1] if gather_last is not None else None
 
         def shard_eval(params, key, adj, deg, feats, fscale, targets, ids, mask):
@@ -619,7 +663,8 @@ class PartitionedTrainer:
                         )[0]
                     )
                 level_feats, _ = gather_level_feats(
-                    gather, gather_last, feats, levels, fanouts, dq, axis
+                    gather, gather_last, feats, levels, fanouts, dq, axis,
+                    gather_levels=gather_levels,
                 )
                 logits = model.apply(
                     params, levels, level_feats, lrf, method=model.forward_gathered
@@ -768,7 +813,8 @@ def fit_partitioned(
                                                  seed=config.seed + 1)
         history.append(rec)
         log(rec)
-        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log)
+        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
+                         config=config)
     if eval_every_epoch and len(store.folds.get("test", [])):
         log({"final_test_metric": trainer.evaluate(state, store, fold="test",
                                                    seed=config.seed + 2)})
