@@ -680,3 +680,85 @@ def test_partitioned_training_pipelined_halo(mesh):
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
     assert trainer.evaluate(state, store, fold="val", seed=1) > 0.5
+
+
+@pytest.fixture(scope="module")
+def mesh2d(eight_devices):
+    return make_mesh(axis_names=("host", "chip"), shape=(2, 4))
+
+
+def test_hier2d_gather_bitwise_matches_flat(mesh2d):
+    """The hierarchical (host, chip) exchange — within-host ICI reduction
+    before the cross-host DCN hop — returns rows bitwise-identical to the
+    flat exact gather over the linearized axis pair (SURVEY.md §5.7 ICI/DCN
+    routing), incl. the fanout-pre-reduced variant."""
+    from tpu_sage.dist.halo import (dist_gather, dist_gather_2d,
+                                    dist_gather_fanout_mean)
+
+    n, d, fanout = 64, 16, 5
+    rng = np.random.default_rng(13)
+    table = rng.normal(size=(n, d)).astype(np.float32)
+    ax2 = ("host", "chip")
+    sh = NamedSharding(mesh2d, P(ax2))
+    table_d = jax.device_put(jnp.asarray(table), sh)
+    ids = rng.integers(0, n, size=(8, 40)).astype(np.int32)
+    ids_d = jax.device_put(jnp.asarray(ids.reshape(-1)), sh)
+
+    got = shard_map(
+        lambda t, i: dist_gather_2d(t, i, "host", "chip"),
+        mesh=mesh2d, in_specs=(P(ax2), P(ax2)), out_specs=P(ax2),
+        check_vma=False,
+    )(table_d, ids_d)
+    flat = shard_map(
+        lambda t, i: dist_gather(t, i, ax2),
+        mesh=mesh2d, in_specs=(P(ax2), P(ax2)), out_specs=P(ax2),
+        check_vma=False,
+    )(table_d, ids_d)
+    np.testing.assert_array_equal(np.asarray(got), table[ids.reshape(-1)])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(flat))
+
+    got_m = shard_map(
+        lambda t, i: dist_gather_2d(t, i, "host", "chip", fanout=fanout),
+        mesh=mesh2d, in_specs=(P(ax2), P(ax2)), out_specs=P(ax2),
+        check_vma=False,
+    )(table_d, ids_d)
+    want_m = table[ids.reshape(-1)].reshape(8 * 8, fanout, d).mean(axis=1)
+    np.testing.assert_allclose(np.asarray(got_m), want_m, rtol=1e-5, atol=1e-6)
+
+
+def test_partitioned_training_hier2d(mesh2d):
+    """End-to-end partitioned training over the 2-D (host, chip) mesh with
+    hierarchical halo routing: converges and evaluates like the flat modes;
+    the per-epoch loss trajectory matches flat-exact on the SAME 8 shards
+    (identical batches — the linearized shard index drives the RNG)."""
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=6, seed=12)
+    base = dict(batch_size=64, epochs=1, n_train_samples=(5, 3),
+                n_val_samples=(5, 3), output_dims=(32, 32), lr_init=0.01)
+
+    def run(cfg, mesh, axis):
+        trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(
+            store, cfg, mesh, axis=axis
+        )
+        state = trainer.init_state(feat_dim=store.feat_dim)
+        losses = []
+        for _ in range(20):
+            state, metrics = trainer.train_step(state, graph, fold_ids, fold_w)
+            losses.append(float(metrics["loss"]))
+        return losses, trainer.evaluate(state, store, fold="val", seed=1)
+
+    losses_h, acc_h = run(TrainConfig(halo="hier2d", **base), mesh2d,
+                          ("host", "chip"))
+    assert np.isfinite(losses_h).all()
+    assert losses_h[-1] < losses_h[0] * 0.8
+    assert acc_h > 0.5
+
+    losses_e, _ = run(TrainConfig(halo="exact", **base), make_mesh(), "data")
+    np.testing.assert_allclose(losses_h, losses_e, rtol=2e-3)
+
+
+def test_hier2d_requires_2d_axis(mesh):
+    store = sbm_store(n_nodes=256, n_classes=3, feat_dim=8, avg_degree=5, seed=3)
+    cfg = TrainConfig(batch_size=32, epochs=1, n_train_samples=(3, 2),
+                      n_val_samples=(3, 2), output_dims=(16, 16), halo="hier2d")
+    with pytest.raises(ValueError, match="hier2d"):
+        PartitionedTrainer.from_store(store, cfg, mesh)

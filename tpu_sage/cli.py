@@ -68,11 +68,14 @@ def parse_args(argv=None):
                     help="node-sharded multi-chip training over a 'data' mesh "
                          "of all visible devices (halo-exchange path)")
     ap.add_argument("--halo", default=None,
-                    choices=["auto", "exact", "ring", "pipelined", "bucketed"],
+                    choices=["auto", "exact", "ring", "pipelined", "bucketed",
+                             "hier2d"],
                     help="halo-exchange implementation for --partitioned "
                          "(default auto: exact at 1 shard, ring multi-shard — "
                          "the per-mesh winners in SCALING_r02.json; 'pipelined' "
-                         "interleaves all levels' ring chains hop-major)")
+                         "interleaves all levels' ring chains hop-major; "
+                         "'hier2d' routes within-host before cross-host on a "
+                         "(host, chip) mesh)")
     ap.add_argument("--halo-capacity-factor", type=float, default=None,
                     help="bucketed-halo capacity factor (default 2.0)")
     ap.add_argument("--fuse-first-layer", action="store_true",

@@ -180,6 +180,73 @@ def dist_gather_ring(
     return lax.ppermute(buf_ans, axis_name, perm)
 
 
+def dist_gather_2d(
+    local_table: jnp.ndarray,  # (m, d) rows owned by this (host, chip) shard
+    ids: jnp.ndarray,          # (q,) GLOBAL ids queried by this shard
+    host_axis: str,
+    chip_axis: str,
+    fanout: Optional[int] = None,
+) -> jnp.ndarray:
+    """Hierarchical exact gather over a 2-D ``(host, chip)`` mesh: the row
+    traffic is reduced WITHIN each host (ICI-analog axis) before anything
+    crosses hosts (DCN-analog axis) — SURVEY.md §5.7 "ICI (intra-slice) /
+    DCN (cross-slice)".
+
+    Global shard index is ``host·n_chips + chip`` (the order a combined
+    ``P((host, chip))`` sharding lays rows out in), each owning ``m`` rows.
+    Three phases:
+
+    1. ids replicate: ``all_gather`` over hosts (cheap ints on DCN), then
+       over chips (ICI) → every chip sees all ``(C, H, q)`` queries.
+    2. ICI reduce: local masked answers ``psum_scatter`` over the chip axis —
+       chip ``c`` receives, for every host-peer ``(h', c)``'s queries, the
+       answers COMPLETE WITHIN THIS HOST.
+    3. DCN reduce: ``psum_scatter`` over the host axis combines the per-host-
+       complete partials and delivers each chip its own queries' rows.
+
+    Comm accounting per chip (rows of width d): ICI ≈ C·H·q·d (the chip-axis
+    scatter), DCN = H·q·d — the flat 1-D exact exchange moves its whole
+    n·q·d = C·H·q·d row volume over a group that SPANS hosts, so the
+    hierarchical form cuts cross-host row bytes by ~C×. With ``fanout`` set
+    the answers pre-reduce to per-root means BEFORE both scatters
+    (``dist_gather_fanout_mean``'s contract: float32, another fanout× off
+    both links).
+
+    Exactness: equals ``dist_gather`` over the flattened ``(host, chip)``
+    axis pair bitwise (modulo the f32 promote when ``fanout`` is set);
+    tested on the (2, 4) CPU mesh.
+    """
+    m = local_table.shape[0]
+    my = lax.axis_index((host_axis, chip_axis))  # linear host*C + chip
+    offset = my * m
+    ids_h = lax.all_gather(ids, host_axis)       # (H, q) — DCN, int32
+    all_ids = lax.all_gather(ids_h, chip_axis)   # (C, H, q) — ICI, int32
+    local_idx = jnp.clip(all_ids - offset, 0, m - 1)
+    rows = local_table[local_idx]                # (C, H, q, d...)
+    owned = (all_ids >= offset) & (all_ids < offset + m)
+    rows = jnp.where(
+        owned.reshape(owned.shape + (1,) * (rows.ndim - 3)), rows, 0
+    )
+    if fanout is not None:
+        c, h, q = all_ids.shape
+        rows = jnp.mean(
+            rows.astype(jnp.float32).reshape(
+                (c, h, q // fanout, fanout) + rows.shape[3:]
+            ),
+            axis=3,
+        )
+    # phase 2: within-host reduction, delivered to the requesting chip column
+    # (flatten (C, H, q') into the scatter dimension: tiles are (H·q', d))
+    part = lax.psum_scatter(
+        rows.reshape((-1,) + rows.shape[3:]), chip_axis,
+        scatter_dimension=0, tiled=True,
+    )                                            # (H·q', d...)
+    # phase 3: cross-host reduction, delivered to the requesting host
+    return lax.psum_scatter(
+        part, host_axis, scatter_dimension=0, tiled=True
+    )                                            # (q', d...)
+
+
 def dist_gather_ring_pipelined(
     local_table: jnp.ndarray,       # (m, d) rows owned by this shard
     ids_list,                       # [(q_l,) GLOBAL ids] one entry per level

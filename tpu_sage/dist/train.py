@@ -38,7 +38,8 @@ from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_sage import overrides
-from tpu_sage.dist.halo import (dist_gather, dist_gather_bucketed,
+from tpu_sage.dist.halo import (dist_gather, dist_gather_2d,
+                                dist_gather_bucketed,
                                 dist_gather_fanout_mean, dist_gather_ring,
                                 dist_gather_ring_fanout_mean,
                                 dist_gather_ring_pipelined)
@@ -49,7 +50,7 @@ from tpu_sage.train.losses import loss_lookup
 from tpu_sage.train.trainer import TrainConfig, TrainState, build_model, build_optimizer
 
 
-HALO_MODES = ("auto", "exact", "ring", "pipelined", "bucketed")
+HALO_MODES = ("auto", "exact", "ring", "pipelined", "bucketed", "hier2d")
 
 
 def resolve_halo_mode(mode: str, n_shards: int) -> str:
@@ -73,6 +74,17 @@ def resolve_halo_mode(mode: str, n_shards: int) -> str:
 
 def _no_overflow() -> jnp.ndarray:
     return jnp.zeros((), jnp.int32)
+
+
+def _axis_size(mesh: Mesh, axis) -> int:
+    """Total shard count over one axis name or an axis-name tuple (the
+    ``('host', 'chip')`` hierarchical layout shards over the flattened pair,
+    linear index ``host·n_chips + chip``)."""
+    names = (axis,) if isinstance(axis, str) else tuple(axis)
+    size = 1
+    for a in names:
+        size *= mesh.shape[a]
+    return size
 
 
 def make_gather(mode: str, n_shards: int, capacity_factor: float):
@@ -102,6 +114,14 @@ def make_gather(mode: str, n_shards: int, capacity_factor: float):
         # gather one level at a time either way
         return lambda table, ids, axis: (
             dist_gather_ring(table, ids, axis, n_shards), _no_overflow()
+        )
+
+    if mode == "hier2d":
+        # hierarchical (host, chip) routing: within-host ICI reduction before
+        # the cross-host DCN hop (halo.dist_gather_2d). ``axis`` must be the
+        # ('host', 'chip') name pair — enforced at trainer build.
+        return lambda table, ids, axis: (
+            dist_gather_2d(table, ids, axis[0], axis[1]), _no_overflow()
         )
 
     def bucketed(table, ids, axis):
@@ -143,6 +163,11 @@ def make_gather_last(mode: str, n_shards: int, capacity_factor: float = 2.0):
     if mode in ("ring", "pipelined"):
         return lambda table, ids, fanout, axis: (
             dist_gather_ring_fanout_mean(table, ids, fanout, axis, n_shards),
+            _no_overflow(),
+        )
+    if mode == "hier2d":
+        return lambda table, ids, fanout, axis: (
+            dist_gather_2d(table, ids, axis[0], axis[1], fanout=fanout),
             _no_overflow(),
         )
 
@@ -321,7 +346,7 @@ class PartitionedTrainer:
         self.mesh = mesh
         self.axis = axis
         self.shard_size = shard_size
-        self.n_shards = mesh.shape[axis]
+        self.n_shards = _axis_size(mesh, axis)
         self.loss_fn = loss_lookup[task]
         self.steps_per_epoch = steps_per_epoch
         self.tx = build_optimizer(config, steps_per_epoch)
@@ -329,6 +354,13 @@ class PartitionedTrainer:
         self.halo_mode = resolve_halo_mode(
             getattr(config, "halo", "auto"), self.n_shards
         )
+        if self.halo_mode == "hier2d" and isinstance(axis, str):
+            raise ValueError(
+                "halo='hier2d' routes within-host before cross-host and needs "
+                "a 2-D mesh with axis=('host', 'chip'); got a flat axis "
+                f"{axis!r} — build the mesh with make_mesh(axis_names="
+                "('host', 'chip'), shape=(n_hosts, n_chips))"
+            )
         self.gather = make_gather(
             self.halo_mode,
             self.n_shards,
@@ -375,7 +407,7 @@ class PartitionedTrainer:
             feat_dtype=None if cd == "float32" else cd,
             quantize=getattr(config, "feature_int8", False),
         )
-        n_shards = mesh.shape[axis]
+        n_shards = _axis_size(mesh, axis)
         fold_ids, fold_w = shard_fold(store.folds["train"], n_shards, m)
         steps_per_epoch = max(1, len(store.folds["train"]) // config.batch_size)
         sh = NamedSharding(mesh, P(axis))
@@ -777,15 +809,27 @@ def fit_partitioned(
 
     if log is None:
         log = lambda d: print(_json.dumps(d), flush=True)
+    axis = "data"
     if mesh is None:
         from tpu_sage.dist.mesh import make_mesh
 
-        mesh = make_mesh()
+        if getattr(config, "halo", "auto") == "hier2d":
+            # hierarchical topology: one 'host' row per process, local chips
+            # along 'chip' (the OGBN-products multi-host layout)
+            n_hosts = jax.process_count()
+            n_chips = len(jax.devices()) // n_hosts
+            mesh = make_mesh(axis_names=("host", "chip"),
+                             shape=(n_hosts, n_chips))
+            axis = ("host", "chip")
+        else:
+            mesh = make_mesh()
+    elif len(mesh.axis_names) == 2:
+        axis = tuple(mesh.axis_names)
 
     from tpu_sage.train.checkpoint import maybe_checkpoint, resume_state
 
     trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(
-        store, config, mesh
+        store, config, mesh, axis=axis
     )
     # one line naming the RESOLVED halo implementation (config may say "auto")
     log({"n_shards": trainer.n_shards, "halo": trainer.halo_mode})

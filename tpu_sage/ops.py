@@ -76,11 +76,12 @@ def row_gather(table: jnp.ndarray, ids: jnp.ndarray, form: str | None = None) ->
 # Chunked gathers: XLA issues gather descriptors serially PER OP but runs
 # independent gather ops concurrently, so splitting one big gather into
 # chunks overlaps the descriptor streams: the 141k-row Reddit feature gather
-# measures 3.06 -> 2.00 ms at 4 chunks, flat at 8
-# (scripts/bench_gather_split.py — the overlapped floor is ~14 ns/row).
-# The chunk count is config-driven (TrainConfig.gather_chunks, default 4);
+# measures 3.06 -> 2.00 ms at 4 chunks (scripts/bench_gather_split.py).
+# Whole-step the winner is 8 (round 3: 59.8M vs 57.4M edges/s at 4; clean
+# divisors of the 12 800 deepest-level roots win — 3/6/12 all regress).
+# The chunk count is config-driven (TrainConfig.gather_chunks, default 8);
 # TPU_SAGE_GATHER_CHUNKS=1 disables for whole-program A/B (tpu_sage.overrides).
-DEFAULT_CHUNKS = 4
+DEFAULT_CHUNKS = 8
 _CHUNK_MIN_ROWS = 4096  # below this the extra ops cost more than they overlap
 
 

@@ -81,8 +81,9 @@ class TrainConfig:
     gather_form: Optional[str] = None  # None = per-aggregator policy
     # ("masked" for mean — forces the gather to materialize, −15% whole step;
     # "plain" elsewhere — lets XLA fuse gather into the MLP/softmax consumer)
-    gather_chunks: int = 4  # split big gathers into k independent ops so
-    # their descriptor streams overlap (~21.7 → 14.2 ns/row at 4)
+    gather_chunks: int = 8  # split big gathers into k independent ops so
+    # their descriptor streams overlap; 8 measured best whole-step (round 3:
+    # 59.8M vs 57.4M edges/s at 4; use divisors of the deepest level's roots)
     fuse_last: str = "auto"  # deepest-level fused gather+summary:
     # "auto" (on, except lstm — measured −7%), "off", "all"
     int8_summean: bool = True  # int8 tables: exact int32 sum + one dequant
