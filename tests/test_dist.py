@@ -762,3 +762,22 @@ def test_hier2d_requires_2d_axis(mesh):
                       n_val_samples=(3, 2), output_dims=(16, 16), halo="hier2d")
     with pytest.raises(ValueError, match="hier2d"):
         PartitionedTrainer.from_store(store, cfg, mesh)
+
+
+def test_partitioned_exact_val(mesh):
+    """fit_partitioned with exact_val: the per-epoch metric is the sharded
+    exact full-graph number (evaluate_exact), equal to recomputing it and
+    close to the single-device exact metric for the same params."""
+    from tpu_sage.dist.train import fit_partitioned
+
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=6,
+                      feat_noise=0.5, seed=24)
+    cfg = TrainConfig(batch_size=64, epochs=2, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32),
+                      lr_init=0.01, exact_val=True)
+    trainer, state, hist = fit_partitioned(store, cfg, mesh=mesh,
+                                           log=lambda d: None)
+    assert "val_metric" in hist[-1]
+    assert hist[-1]["val_metric"] == trainer.evaluate_exact(state, store,
+                                                            fold="val")
+    assert hist[-1]["val_metric"] > 0.5

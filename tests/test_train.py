@@ -133,3 +133,58 @@ def test_profile_edge_count_respects_fanouts():
     assert edges_per_batch(512, (25, 10)) == 512 * (25 + 250)
     assert edges_per_batch(4, (3,)) == 12
     assert edges_per_batch(2, (4, 3, 2)) == 2 * (4 + 12 + 24)
+
+
+def test_exact_val_metric_matches_manual_full_graph():
+    """--exact-val swaps sampled validation for exact full-graph inference:
+    the reported val metric equals recomputing it from the returned state
+    via embed_all_nodes (deterministic — no eval-time sampling at all)."""
+    from tpu_sage.nn.full_graph import embed_all_nodes
+    from tpu_sage.train.trainer import fold_metric_np
+
+    problem = sbm_problem(n_nodes=400, n_classes=4, feat_dim=16, avg_degree=6,
+                          seed=21)
+    cfg = TrainConfig(batch_size=64, epochs=2, n_train_samples=(5, 3),
+                      n_val_samples=(8, 5), output_dims=(32, 32),
+                      exact_val=True)
+    trainer, state, hist = fit(problem, cfg, log=lambda d: None)
+    assert "val_metric" in hist[-1]
+
+    graph_full = problem.device_graph(train=False)
+    logits = np.asarray(
+        embed_all_nodes(trainer.model, state.params, graph_full, with_head=True)
+    )
+    val_ids = problem.folds["val"]
+    want = fold_metric_np(problem.task, logits[val_ids],
+                          problem.store.targets[val_ids])
+    assert hist[-1]["val_metric"] == want
+
+
+def test_exact_val_falls_back_for_sample_defined_aggregators():
+    problem = sbm_problem(n_nodes=300, n_classes=3, feat_dim=8, avg_degree=5,
+                          seed=22)
+    cfg = TrainConfig(batch_size=32, epochs=1, n_train_samples=(4, 2),
+                      n_val_samples=(4, 2), output_dims=(16, 16),
+                      aggregator_class="lstm", agg_hidden_dim=16,
+                      exact_val=True)
+    notes = []
+    _, _, hist = fit(problem, cfg, log=lambda d: notes.append(d))
+    assert any("exact_val unsupported" in str(d.get("note", "")) for d in notes)
+    assert "val_metric" in hist[-1]  # sampled fallback still validates
+
+
+def test_val_fanouts_larger_than_train():
+    """The differentiated-fanout protocol (reference eval uses larger
+    fanouts, SURVEY.md §3.5) flows end to end: the model's eval tree is the
+    val fanouts, and training with n_val > n_train works."""
+    from tpu_sage.train.trainer import build_model
+
+    cfg = TrainConfig(batch_size=32, epochs=2, n_train_samples=(4, 2),
+                      n_val_samples=(8, 6), output_dims=(16, 16))
+    model = build_model(cfg, 300, 3)
+    assert model.fanouts(train=True) == (4, 2)
+    assert model.fanouts(train=False) == (8, 6)
+    problem = sbm_problem(n_nodes=300, n_classes=3, feat_dim=8, avg_degree=5,
+                          seed=23)
+    _, _, hist = fit(problem, cfg, log=lambda d: None)
+    assert hist[-1]["val_metric"] > 0.8

@@ -62,6 +62,10 @@ def parse_args(argv=None):
                     help="also checkpoint to --checkpoint-path every N epochs "
                          "mid-run (crash loses at most N epochs)")
     ap.add_argument("--no-eval", action="store_true", help="skip per-epoch validation")
+    ap.add_argument("--exact-val", action="store_true",
+                    help="validate with EXACT full-graph layer-wise inference "
+                         "(variance-free serving-mode metric; mean/gcn/pool "
+                         "aggregators, dense adjacency)")
     ap.add_argument("--val-interval", type=int, default=None,
                     help="also validate every N train batches (reference-style)")
     ap.add_argument("--partitioned", action="store_true",
@@ -243,6 +247,8 @@ def main(argv=None):
         flag_values["gather_chunks"] = args.gather_chunks
     if args.fuse_last is not None:
         flag_values["fuse_last"] = args.fuse_last
+    if args.exact_val:
+        flag_values["exact_val"] = True
     if args.config:
         # preset json is the base; flags PRESENT ON THE COMMAND LINE override
         # it (detected from raw argv so passing a flag's default value still
@@ -280,6 +286,8 @@ def main(argv=None):
             overrides["gather_chunks"] = args.gather_chunks
         if args.fuse_last is not None:
             overrides["fuse_last"] = args.fuse_last
+        if args.exact_val:
+            overrides["exact_val"] = True
         config = config.replace(**overrides)
     else:
         config = TrainConfig(**flag_values)

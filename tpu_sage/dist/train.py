@@ -735,16 +735,10 @@ class PartitionedTrainer:
         )
         return jax.jit(mapped)
 
-    def evaluate(self, state, store: GraphStore, fold: str = "val",
-                 seed: int = 0) -> float:
-        """Full-fold metric on the node-sharded FULL graph (inductive
-        protocol, SURVEY.md §3.5), exact counts via masked padding. Supports
-        all four tasks; regression metrics are negated (higher = better),
-        matching ``Trainer.eval_fold``."""
-        from tpu_sage.dist.partition import shard_fold_masked
-
-        # cache keyed on store identity: evaluating against a different store
-        # must re-shard, not silently reuse the previous store's graph
+    def _full_graph_shard(self, store: GraphStore):
+        """Node-sharded FULL graph for evaluation, cached keyed on store
+        identity: evaluating against a different store must re-shard, not
+        silently reuse the previous store's graph."""
         if self._eval_graph is None or self._eval_graph_key != id(store):
             cd = getattr(self.config, "compute_dtype", "float32")
             self._eval_graph = shard_graph(
@@ -753,7 +747,35 @@ class PartitionedTrainer:
                 quantize=getattr(self.config, "feature_int8", False),
             )
             self._eval_graph_key = id(store)
-        graph_full, m = self._eval_graph
+        return self._eval_graph
+
+    def evaluate_exact(self, state, store: GraphStore, fold: str = "val") -> float:
+        """Variance-free fold metric via SHARDED exact layer-wise inference
+        (nn/full_graph.embed_all_nodes_partitioned) — the serving-mode
+        number, no sampling in the eval path at all. Supported for the
+        permutation-invariant aggregators."""
+        from tpu_sage.nn.full_graph import embed_all_nodes_partitioned
+        from tpu_sage.train.trainer import fold_metric_np
+
+        graph_full, _ = self._full_graph_shard(store)
+        logits = np.asarray(
+            embed_all_nodes_partitioned(
+                self.model, state.params, graph_full, self.mesh,
+                axis=self.axis, with_head=True,
+            )
+        )[: store.n_nodes]
+        ids = store.folds[fold]
+        return fold_metric_np(store.task, logits[ids], store.targets[ids])
+
+    def evaluate(self, state, store: GraphStore, fold: str = "val",
+                 seed: int = 0) -> float:
+        """Full-fold metric on the node-sharded FULL graph (inductive
+        protocol, SURVEY.md §3.5), exact counts via masked padding. Supports
+        all four tasks; regression metrics are negated (higher = better),
+        matching ``Trainer.eval_fold``."""
+        from tpu_sage.dist.partition import shard_fold_masked
+
+        graph_full, m = self._full_graph_shard(store)
         ids, mask = shard_fold_masked(
             store.folds[fold], self.n_shards, m, pad_to_multiple=self.batch_per_shard
         )
@@ -833,6 +855,21 @@ def fit_partitioned(
     )
     # one line naming the RESOLVED halo implementation (config may say "auto")
     log({"n_shards": trainer.n_shards, "halo": trainer.halo_mode})
+
+    use_exact_val = False
+    if getattr(config, "exact_val", False):
+        from tpu_sage.nn.full_graph import exact_supported
+
+        use_exact_val = exact_supported(trainer.model)
+        if not use_exact_val:
+            log({"note": "exact_val unsupported for this aggregator; "
+                         "falling back to sampled validation"})
+
+    def eval_fold(state, fold, seed):
+        if use_exact_val:
+            return trainer.evaluate_exact(state, store, fold=fold)
+        return trainer.evaluate(state, store, fold=fold, seed=seed)
+
     state = trainer.init_state(feat_dim=store.feat_dim)
     state, start_epoch = resume_state(state, resume_from,
                                       trainer.steps_per_epoch, log)
@@ -853,13 +890,11 @@ def fit_partitioned(
             # queries got fallback rows) — the count must be in the log
             rec["halo_overflow"] = int(m["halo_overflow"])
         if eval_every_epoch and len(store.folds["val"]):
-            rec["val_metric"] = trainer.evaluate(state, store, fold="val",
-                                                 seed=config.seed + 1)
+            rec["val_metric"] = eval_fold(state, "val", config.seed + 1)
         history.append(rec)
         log(rec)
         maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
                          config=config)
     if eval_every_epoch and len(store.folds.get("test", [])):
-        log({"final_test_metric": trainer.evaluate(state, store, fold="test",
-                                                   seed=config.seed + 2)})
+        log({"final_test_metric": eval_fold(state, "test", config.seed + 2)})
     return trainer, state, history

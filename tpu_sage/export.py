@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--config", default=None)
     ap.add_argument("--logits", action="store_true",
                     help="export classifier logits instead of embeddings")
+    ap.add_argument("--partitioned", action="store_true",
+                    help="node-shard the graph over all visible devices and "
+                         "run SHARDED exact inference (halo-gathered "
+                         "activations) — for graphs too big for one chip")
     ap.add_argument("--chunk", type=int, default=4096)
     # model flags (must match training) when no --config given
     ap.add_argument("--aggregator-class", default="mean")
@@ -70,9 +74,22 @@ def main(argv=None):
     template = trainer.init_state(graph)
     state = load_checkpoint(args.checkpoint, template)
 
-    out = embed_all_nodes(model, state.params, graph, chunk=args.chunk,
-                          with_head=args.logits)
-    arr = np.asarray(out)
+    if args.partitioned:
+        from tpu_sage.dist.mesh import make_mesh
+        from tpu_sage.dist.partition import shard_graph
+        from tpu_sage.nn.full_graph import embed_all_nodes_partitioned
+
+        mesh = make_mesh()
+        sharded, _ = shard_graph(problem.store, mesh, train=False)
+        out = embed_all_nodes_partitioned(
+            model, state.params, sharded, mesh,
+            chunk=args.chunk, with_head=args.logits,
+        )
+        arr = np.asarray(out)[: problem.n_nodes]
+    else:
+        out = embed_all_nodes(model, state.params, graph, chunk=args.chunk,
+                              with_head=args.logits)
+        arr = np.asarray(out)
     np.save(args.out, arr)
     print(json.dumps({
         "out": args.out, "shape": list(arr.shape),

@@ -30,6 +30,50 @@ from tpu_sage.graph.graph_data import DeviceGraph
 from tpu_sage.nn.model import GSSupervised
 
 
+def _chunk_combine(model, params, layer_idx, neigh, d_chunk, h_self):
+    """One chunk of one layer from already-materialized neighbor rows.
+
+    ``neigh`` (chunk, max_deg, d) comes from a local ``h[rows]`` on the
+    single-device path or a halo ``dist_gather`` on the sharded path — the
+    masked-summary math is identical. Masked summaries mirror the aggregator
+    math over ALL true neighbors; degree-0 nodes SELF-LOOP (neighbor summary
+    drawn from the node itself), matching the sampled path's padding
+    semantics — the model was trained with that behavior (graph_data.py
+    padding idiom)."""
+    chunk, max_deg = neigh.shape[:2]
+    mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (chunk, max_deg), 1)
+        < d_chunk[:, None]
+    )
+    agg_name = model.aggregator_class
+    sub = {"params": params["params"][f"agg_layers_{layer_idx}"]}
+    isolated = d_chunk[:, None] == 0
+    dtype = h_self.dtype
+    if agg_name in ("mean", "gcn"):
+        denom = jnp.maximum(d_chunk[:, None], 1).astype(dtype)
+        summary = jnp.where(mask[:, :, None], neigh, 0).sum(axis=1) / denom
+        summary = jnp.where(isolated, h_self, summary)
+        if agg_name == "gcn":
+            # gcn summarizes mean(self ∪ neighbors); isolated → self
+            summary = jnp.where(
+                isolated, h_self, (summary * denom + h_self) / (denom + 1.0)
+            )
+        return _combine_with_params(model, layer_idx, sub, h_self, summary, agg_name)
+    if agg_name in ("max_pool", "mean_pool"):
+        mlp_out = _dense(sub, "mlp", neigh)
+        mlp_out = jax.nn.relu(mlp_out)
+        self_mlp = jax.nn.relu(_dense(sub, "mlp", h_self))  # self-loop fallback
+        if agg_name == "max_pool":
+            neg = jnp.finfo(mlp_out.dtype).min
+            summary = jnp.where(mask[:, :, None], mlp_out, neg).max(axis=1)
+        else:
+            denom = jnp.maximum(d_chunk[:, None], 1).astype(dtype)
+            summary = jnp.where(mask[:, :, None], mlp_out, 0).sum(axis=1) / denom
+        summary = jnp.where(isolated, self_mlp, summary)
+        return _combine_with_params(model, layer_idx, sub, h_self, summary, agg_name)
+    raise ValueError(f"full-graph inference unsupported for {agg_name}")
+
+
 def _layer_full(
     model, params, layer_idx: int, h: jnp.ndarray, graph: DeviceGraph, chunk: int
 ) -> jnp.ndarray:
@@ -44,40 +88,7 @@ def _layer_full(
     def one_chunk(args):
         rows, d_chunk, h_self = args           # (chunk, max_deg), (chunk,), (chunk, d)
         neigh = h[rows]                         # (chunk, max_deg, d)
-        mask = (
-            jax.lax.broadcasted_iota(jnp.int32, (chunk, max_deg), 1)
-            < d_chunk[:, None]
-        )
-        agg_name = model.aggregator_class
-        sub = {"params": params["params"][f"agg_layers_{layer_idx}"]}
-        # masked summaries mirror the aggregator math over ALL true neighbors.
-        # degree-0 nodes SELF-LOOP (neighbor summary drawn from the node
-        # itself), matching the sampled path's padding semantics — the model
-        # was trained with that behavior (graph_data.py padding idiom).
-        isolated = d_chunk[:, None] == 0
-        if agg_name in ("mean", "gcn"):
-            denom = jnp.maximum(d_chunk[:, None], 1).astype(h.dtype)
-            summary = jnp.where(mask[:, :, None], neigh, 0).sum(axis=1) / denom
-            summary = jnp.where(isolated, h_self, summary)
-            if agg_name == "gcn":
-                # gcn summarizes mean(self ∪ neighbors); isolated → self
-                summary = jnp.where(
-                    isolated, h_self, (summary * denom + h_self) / (denom + 1.0)
-                )
-            return _combine_with_params(model, layer_idx, sub, h_self, summary, agg_name)
-        if agg_name in ("max_pool", "mean_pool"):
-            mlp_out = _dense(sub, "mlp", neigh)
-            mlp_out = jax.nn.relu(mlp_out)
-            self_mlp = jax.nn.relu(_dense(sub, "mlp", h_self))  # self-loop fallback
-            if agg_name == "max_pool":
-                neg = jnp.finfo(mlp_out.dtype).min
-                summary = jnp.where(mask[:, :, None], mlp_out, neg).max(axis=1)
-            else:
-                denom = jnp.maximum(d_chunk[:, None], 1).astype(h.dtype)
-                summary = jnp.where(mask[:, :, None], mlp_out, 0).sum(axis=1) / denom
-            summary = jnp.where(isolated, self_mlp, summary)
-            return _combine_with_params(model, layer_idx, sub, h_self, summary, agg_name)
-        raise ValueError(f"full-graph inference unsupported for {agg_name}")
+        return _chunk_combine(model, params, layer_idx, neigh, d_chunk, h_self)
 
     rows_c = adj.reshape(n_chunks, chunk, max_deg)
     deg_c = deg.reshape(n_chunks, chunk)
@@ -130,6 +141,21 @@ def _embed_jit(model, params, graph, chunk, with_head):
     return h
 
 
+def _check_exact_supported(model: GSSupervised) -> None:
+    if model.aggregator_class not in ("mean", "gcn", "max_pool", "mean_pool"):
+        raise ValueError(
+            f"full-graph inference needs a permutation-invariant aggregator "
+            f"over all neighbors; {model.aggregator_class!r} is sample-defined"
+        )
+
+
+def exact_supported(model: GSSupervised) -> bool:
+    """True when this model admits exact (variance-free) layer-wise
+    inference — the linear-summary and pool aggregators; LSTM/attention are
+    sample-defined by construction."""
+    return model.aggregator_class in ("mean", "gcn", "max_pool", "mean_pool")
+
+
 def embed_all_nodes(
     model: GSSupervised,
     params,
@@ -138,9 +164,92 @@ def embed_all_nodes(
     with_head: bool = False,
 ) -> jnp.ndarray:
     """Exact embeddings (or logits with ``with_head``) for all nodes."""
-    if model.aggregator_class not in ("mean", "gcn", "max_pool", "mean_pool"):
-        raise ValueError(
-            f"full-graph inference needs a permutation-invariant aggregator "
-            f"over all neighbors; {model.aggregator_class!r} is sample-defined"
-        )
+    _check_exact_supported(model)
     return _embed_jit(model, params, graph, chunk, with_head)
+
+
+def embed_all_nodes_partitioned(
+    model: GSSupervised,
+    params,
+    graph: DeviceGraph,   # node-sharded (dist.partition.shard_graph, train=False)
+    mesh,
+    axis="data",
+    chunk: int = 2048,
+    with_head: bool = False,
+) -> jnp.ndarray:
+    """Exact layer-wise inference over a NODE-SHARDED graph.
+
+    The single-device ``embed_all_nodes`` holds the whole activation table
+    ``h`` on one chip; a graph big enough to need ``--partitioned`` training
+    cannot be exported that way. Here ``h`` stays sharded: per layer, each
+    shard walks its local nodes in chunks and fetches the (chunk·max_degree)
+    neighbor activations by halo exchange (``dist_gather`` — exact, same
+    collectives as training), then applies the identical masked-summary math
+    (``_chunk_combine``). Everything static-shape; the chunk loop is a
+    ``lax.map`` with the collective inside (uniform trip count on every
+    shard, since shards are equal-sized by construction).
+
+    Returns the global ``(n_padded, out_dim)`` array (sharded over ``axis``;
+    rows past ``store.n_nodes`` are partition padding — slice them off).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_sage.dist.halo import dist_gather
+
+    _check_exact_supported(model)
+    names = (axis,) if isinstance(axis, str) else tuple(axis)
+    n_shards = 1
+    for a in names:
+        n_shards *= mesh.shape[a]
+
+    def shard_embed(adj, deg, feats, fscale):
+        m, max_deg = adj.shape
+        h = feats.astype(fscale.dtype) * fscale  # dequant (ones when dense)
+        if model.prep_class == "linear":
+            h = _dense({"params": params["params"]["prep"]}, "fc", h)
+        elif model.prep_class == "node_embedding":
+            emb = params["params"]["prep"]["embedding"]["embedding"]
+            my = jax.lax.axis_index(names if len(names) > 1 else names[0])
+            local_emb = jax.lax.dynamic_slice(
+                emb, (my * m, 0), (m, emb.shape[1])
+            )
+            h = jnp.concatenate([h, local_emb], axis=-1)
+        pad = (-m) % chunk
+        adj_p = jnp.concatenate([adj, jnp.zeros((pad, max_deg), adj.dtype)]) if pad else adj
+        deg_p = jnp.concatenate([deg, jnp.zeros((pad,), deg.dtype)]) if pad else deg
+        n_chunks = adj_p.shape[0] // chunk
+
+        for layer_idx in range(len(model.layer_specs)):
+            def one_chunk(args, h=h, layer_idx=layer_idx):
+                rows, d_chunk, h_self = args
+                neigh = dist_gather(h, rows.reshape(-1), axis).reshape(
+                    chunk, max_deg, -1
+                )
+                return _chunk_combine(
+                    model, params, layer_idx, neigh, d_chunk, h_self
+                )
+
+            h_p = jnp.concatenate([h, jnp.zeros((pad, h.shape[1]), h.dtype)]) if pad else h
+            out = jax.lax.map(one_chunk, (
+                adj_p.reshape(n_chunks, chunk, max_deg),
+                deg_p.reshape(n_chunks, chunk),
+                h_p.reshape(n_chunks, chunk, h.shape[1]),
+            ))
+            h = out.reshape(-1, out.shape[-1])[:m]
+        if model.normalize:
+            from tpu_sage.nn.model import _l2_normalize
+
+            h = _l2_normalize(h)
+        if with_head:
+            h = _dense(params, "fc", h)
+        return h
+
+    spec = P(axis) if isinstance(axis, str) else P(tuple(axis))
+    mapped = shard_map(
+        shard_embed, mesh=mesh,
+        in_specs=(spec, spec, spec, P()),
+        out_specs=spec, check_vma=False,
+    )
+    return jax.jit(mapped)(graph.adj, graph.degrees, graph.feats,
+                           graph.feat_scale)

@@ -87,6 +87,10 @@ class TrainConfig:
     fuse_last: str = "auto"  # deepest-level fused gather+summary:
     # "auto" (on, except lstm — measured −7%), "off", "all"
     int8_summean: bool = True  # int8 tables: exact int32 sum + one dequant
+    exact_val: bool = False  # validate with EXACT full-graph layer-wise
+    # inference (nn/full_graph) instead of sampled eval — variance-free, the
+    # serving-mode metric; supported for mean/gcn/max_pool/mean_pool (the
+    # permutation-invariant aggregators), dense adjacency only
     halo: str = "auto"  # partitioned-path gather: "auto" | "exact" | "ring" |
     # "bucketed". "auto" resolves at trainer build: exact on a 1-shard mesh,
     # ring otherwise (ring measured fastest multi-shard, worst at 1 shard —
@@ -114,6 +118,25 @@ class TrainConfig:
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)
+
+
+def fold_metric_np(task: str, logits: np.ndarray, targets: np.ndarray) -> float:
+    """Fold metric from full-graph logits (host side, exact counts) — the
+    same definitions as the masked device-side eval (``Trainer.eval_fold``):
+    accuracy / micro-F1 / negated MSE / negated MAE."""
+    if task == "classification":
+        return float((logits.argmax(-1) == targets.astype(np.int64)).mean())
+    if task == "multilabel_classification":
+        preds = (logits > 0).astype(np.float64)
+        t = targets.astype(np.float64)
+        tp = float((preds * t).sum())
+        fp = float((preds * (1 - t)).sum())
+        fn = float(((1 - preds) * t).sum())
+        return 2 * tp / max(2 * tp + fp + fn, 1e-12)
+    err = logits - targets.astype(logits.dtype)
+    if task == "regression":
+        return float(-(err ** 2).mean())
+    return float(-np.abs(err).mean())
 
 
 def build_model(config: TrainConfig, n_nodes: int, n_classes: int) -> GSSupervised:
@@ -436,12 +459,34 @@ def fit(
 
     val_ids = problem.folds["val"]
 
+    # exact full-graph validation (opt-in): variance-free layer-wise
+    # inference instead of sampled eval — the serving-mode metric
+    use_exact_val = False
+    if config.exact_val:
+        from tpu_sage.nn.full_graph import exact_supported
+
+        use_exact_val = exact_supported(model) and not csr
+        if not use_exact_val:
+            log({"note": "exact_val unsupported for this aggregator/storage; "
+                         "falling back to sampled validation"})
+
+    def eval_fold_ids(ids):
+        if use_exact_val:
+            from tpu_sage.nn.full_graph import embed_all_nodes
+
+            logits = np.asarray(
+                embed_all_nodes(model, state.params, graph_full, with_head=True)
+            )
+            return fold_metric_np(
+                problem.task, logits[ids], problem.store.targets[ids]
+            )
+        return trainer.evaluate(
+            state.params, graph_full, ids, problem.store.targets[ids], eval_key
+        )
+
     def validate(rec):
         if len(val_ids):
-            rec["val_metric"] = trainer.evaluate(
-                state.params, graph_full, val_ids,
-                problem.store.targets[val_ids], eval_key,
-            )
+            rec["val_metric"] = eval_fold_ids(val_ids)
         return rec
 
     history = []
@@ -495,10 +540,6 @@ def fit(
 
     test_ids = problem.folds.get("test", np.array([], dtype=np.int64))
     if eval_every_epoch and len(test_ids):
-        log({
-            "final_test_metric": trainer.evaluate(
-                state.params, graph_full, test_ids,
-                problem.store.targets[test_ids], eval_key,
-            )
-        })  # logged, not appended: history keeps per-epoch records only
+        log({"final_test_metric": eval_fold_ids(test_ids)})
+        # logged, not appended: history keeps per-epoch records only
     return trainer, state, history
