@@ -14,9 +14,11 @@ from tpu_sage.train.unsupervised import UnsupConfig
 
 
 def test_partitioned_unsupervised_embeddings_are_useful(eight_devices):
-    """Same contract as the single-device test: train the encoder with the
-    partitioned NCE objective, fit a logistic probe on the partitioned-path
-    embeddings, check val accuracy ≫ chance (0.25)."""
+    """Same contract as the single-device test, with the VERDICT-r2 #9 gate:
+    the partitioned-path probe reaches ≥ 0.8× the supervised val accuracy on
+    the same graph/seed, and the probe is recorded in the fit history."""
+    from tpu_sage.train.trainer import fit
+
     mesh = make_mesh()
     problem = sbm_problem(n_nodes=600, n_classes=4, feat_dim=32, avg_degree=8,
                           p_in=0.95, feat_noise=1.0, seed=11)
@@ -28,16 +30,17 @@ def test_partitioned_unsupervised_embeddings_are_useful(eight_devices):
     )
     assert hist[-1]["unsup_loss"] < hist[0]["unsup_loss"]
     assert hist[-1]["n_shards"] == 8
+    acc = hist[-1]["probe_val_accuracy"]
+
+    _, _, sup_hist = fit(problem, cfg.replace(lr_init=0.01),
+                         log=lambda d: None)
+    assert acc >= 0.8 * sup_hist[-1]["val_metric"], (
+        acc, sup_hist[-1]["val_metric"]
+    )
 
     train_ids = problem.folds["train"]
-    val_ids = problem.folds["val"]
     z_train = trainer.embed_fold(state, problem.store, train_ids)
-    z_val = trainer.embed_fold(state, problem.store, val_ids)
     assert z_train.shape == (len(train_ids), 64)  # concat combine: 2*output_dim
-    y = problem.store.targets
-    probe = LogisticRegression(max_iter=500).fit(z_train, y[train_ids])
-    acc = probe.score(z_val, y[val_ids])
-    assert acc > 0.6, acc  # chance = 0.25
 
 
 def test_partitioned_unsupervised_degree_smoothed_negatives(eight_devices):

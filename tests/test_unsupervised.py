@@ -39,8 +39,12 @@ def test_nce_loss_math():
 
 
 def test_unsupervised_embeddings_are_useful():
-    """Paper protocol (SURVEY.md §7.2 M3): train encoder unsupervised, fit a
-    logistic probe on train-fold embeddings, check val accuracy ≫ chance."""
+    """Paper protocol (SURVEY.md §7.2 M3), with the VERDICT-r2 #9 gate: the
+    unsupervised probe must reach ≥ 0.8× the SUPERVISED val accuracy on the
+    same graph/seed (a regression that halves embedding quality fails), and
+    the probe metric is recorded in fit_unsupervised's own history."""
+    from tpu_sage.train.trainer import fit
+
     problem = sbm_problem(n_nodes=600, n_classes=4, feat_dim=32, avg_degree=8,
                           p_in=0.95, feat_noise=1.0, seed=11)
     cfg = TrainConfig(batch_size=128, epochs=3, n_train_samples=(8, 4),
@@ -50,7 +54,15 @@ def test_unsupervised_embeddings_are_useful():
         log=lambda d: None,
     )
     assert hist[-1]["unsup_loss"] < hist[0]["unsup_loss"]
+    # the probe lives in the training history now, not only the CLI layer
+    acc = hist[-1]["probe_val_accuracy"]
 
+    _, _, sup_hist = fit(problem, cfg.replace(lr_init=0.01),
+                         log=lambda d: None)
+    sup_acc = sup_hist[-1]["val_metric"]
+    assert acc >= 0.8 * sup_acc, (acc, sup_acc)
+
+    # the recorded probe equals the manual protocol (same embeddings)
     graph = problem.device_graph(train=False)
     train_ids = problem.folds["train"]
     val_ids = problem.folds["val"]
@@ -58,8 +70,8 @@ def test_unsupervised_embeddings_are_useful():
     z_val = trainer.embed_all(state.params, graph, val_ids)
     y = problem.store.targets
     probe = LogisticRegression(max_iter=500).fit(z_train, y[train_ids])
-    acc = probe.score(z_val, y[val_ids])
-    assert acc > 0.6, acc  # chance = 0.25
+    manual = probe.score(z_val, y[val_ids])
+    assert abs(acc - manual) < 0.05, (acc, manual)
 
 
 def test_walk_corpus_mode(tmp_path):

@@ -328,20 +328,9 @@ def main(argv=None):
             log=log,
             resume_from=args.checkpoint_path,
             checkpoint_every=args.checkpoint_every,
+            probe=not args.no_eval,  # paper protocol: logistic probe on the
+            # partitioned-path embeddings (logged by the fit loop itself)
         )
-        if not args.no_eval and problem.task == "classification":
-            # paper protocol: logistic probe on partitioned-path embeddings
-            from sklearn.linear_model import LogisticRegression
-
-            tr, va = problem.folds["train"], problem.folds["val"]
-            if len(tr) and len(va):
-                z_tr = trainer.embed_fold(state, problem.store, tr)
-                z_va = trainer.embed_fold(state, problem.store, va)
-                y = problem.store.targets
-                probe = LogisticRegression(max_iter=200).fit(z_tr, y[tr])
-                print(json.dumps(
-                    {"probe_val_accuracy": float(probe.score(z_va, y[va]))}
-                ), flush=True)
     elif args.partitioned:
         from tpu_sage.dist.train import fit_partitioned
 
@@ -360,20 +349,9 @@ def main(argv=None):
             log=log,
             resume_from=args.checkpoint_path,
             checkpoint_every=args.checkpoint_every,
+            probe=not args.no_eval,  # paper protocol: logistic probe on the
+            # learned embeddings (logged by the fit loop itself)
         )
-        if not args.no_eval and problem.task == "classification":
-            # paper protocol: logistic probe on the learned embeddings
-            from sklearn.linear_model import LogisticRegression
-
-            graph_full = problem.device_graph(train=False)
-            tr, va = problem.folds["train"], problem.folds["val"]
-            if len(tr) and len(va):
-                z_tr = trainer.embed_all(state.params, graph_full, tr)
-                z_va = trainer.embed_all(state.params, graph_full, va)
-                y = problem.store.targets
-                probe = LogisticRegression(max_iter=200).fit(z_tr, y[tr])
-                rec = {"probe_val_accuracy": float(probe.score(z_va, y[va]))}
-                print(json.dumps(rec), flush=True)
     else:
         trainer, state, history = fit(
             problem, config, eval_every_epoch=not args.no_eval,

@@ -349,9 +349,12 @@ def fit_unsupervised_partitioned(
     log=None,
     resume_from: Optional[str] = None,
     checkpoint_every: int = 0,
+    probe: bool = True,
 ):
     """``fit_unsupervised`` for the node-sharded multi-chip path: per-epoch
-    scanned NCE training, JSON loss line per epoch, periodic checkpoints."""
+    scanned NCE training, JSON loss line per epoch, periodic checkpoints,
+    and (``probe``, classification tasks) a final logistic-probe val
+    accuracy on the partitioned-path embeddings recorded in the history."""
     import json as _json
     import os
     import time
@@ -389,4 +392,14 @@ def fit_unsupervised_partitioned(
         log(rec)
         maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
                          config=config)
+    if probe and store.task == "classification" and history:
+        from tpu_sage.train.unsupervised import logistic_probe
+
+        acc = logistic_probe(
+            lambda ids: trainer.embed_fold(state, store, ids),
+            store.targets, store.folds,
+        )
+        if acc is not None:
+            history[-1]["probe_val_accuracy"] = acc
+            log({"probe_val_accuracy": acc})
     return trainer, state, history

@@ -217,6 +217,21 @@ class UnsupervisedTrainer:
         return np.concatenate(out)[:n]
 
 
+def logistic_probe(embed_fn, targets: np.ndarray, folds,
+                   max_iter: int = 200) -> Optional[float]:
+    """Downstream logistic-probe val accuracy on frozen embeddings — the
+    paper's unsupervised evaluation protocol ([P] §4: embeddings feed a
+    simple linear classifier). ``embed_fn(ids) -> (len(ids), D)``. Returns
+    None when a fold is empty."""
+    from sklearn.linear_model import LogisticRegression
+
+    tr, va = folds["train"], folds["val"]
+    if not (len(tr) and len(va)):
+        return None
+    probe = LogisticRegression(max_iter=max_iter).fit(embed_fn(tr), targets[tr])
+    return float(probe.score(embed_fn(va), targets[va]))
+
+
 def fit_unsupervised(
     problem,
     config: TrainConfig,
@@ -225,11 +240,16 @@ def fit_unsupervised(
     walks: Optional[np.ndarray] = None,
     resume_from: Optional[str] = None,
     checkpoint_every: int = 0,
+    probe: bool = True,
 ) -> Tuple[UnsupervisedTrainer, TrainState, list]:
     """Epoch loop over all train-fold nodes with the NCE objective.
 
     ``resume_from``/``checkpoint_every``: same periodic-checkpoint +
-    exact-epoch-resume contract as ``fit`` (SURVEY.md §5.4)."""
+    exact-epoch-resume contract as ``fit`` (SURVEY.md §5.4). With ``probe``
+    (default) a final logistic-probe val accuracy is computed on the frozen
+    embeddings (classification tasks), logged AND recorded in the last
+    history record — quality lives in the training history, not only in the
+    CLI layer."""
     import json as _json
     import time
 
@@ -270,4 +290,15 @@ def fit_unsupervised(
         log(rec)
         maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
                          config=config)
+    if probe and problem.task == "classification" and history:
+        # FULL adjacency for probe embeddings (inductive eval protocol)
+        graph_full = problem.device_graph(train=False,
+                                          quantize=config.feature_int8)
+        acc = logistic_probe(
+            lambda ids: trainer.embed_all(state.params, graph_full, ids),
+            problem.store.targets, problem.folds,
+        )
+        if acc is not None:
+            history[-1]["probe_val_accuracy"] = acc
+            log({"probe_val_accuracy": acc})
     return trainer, state, history
