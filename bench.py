@@ -24,6 +24,11 @@ bench_logs/) — so the headline returned to exactness-mode storage. int8
 stays for the partitioned halo exchange (4× fewer ICI bytes) and HBM-tight
 configs; quality was verified identical at Reddit scale either way
 (RESULTS.md). The ``feature_storage`` field labels the config.
+
+Round 3: gather_chunks default moved 4 → 8 after a whole-step sweep
+(59.90M edges/s at 8 vs 57.41M at 4, RESULTS.md round 3; int8 re-measured
+59.10M under the same default — bf16 stays). Current headline:
+**59.90M edges/s/chip, 73.9× the torch baseline, 2.350 ms/step.**
 """
 
 from __future__ import annotations

@@ -188,3 +188,17 @@ def test_val_fanouts_larger_than_train():
                           seed=23)
     _, _, hist = fit(problem, cfg, log=lambda d: None)
     assert hist[-1]["val_metric"] > 0.8
+
+
+def test_three_layer_model_converges():
+    """Depth is generic (layer_specs is a list): a 3-layer model — fanouts
+    (6, 4, 3), three aggregation passes — trains end to end and validates
+    (the reference caps at 2 layers only by configuration)."""
+    problem = sbm_problem(n_nodes=500, n_classes=4, feat_dim=16, avg_degree=8,
+                          seed=31)
+    cfg = TrainConfig(batch_size=64, epochs=4, n_train_samples=(6, 4, 3),
+                      n_val_samples=(6, 4, 3), output_dims=(32, 32, 32),
+                      lr_init=0.01)
+    _, _, hist = fit(problem, cfg, log=lambda d: None)
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+    assert hist[-1]["val_metric"] > 0.85
