@@ -43,3 +43,17 @@ echo "== partitioned unsupervised (halo-walked NCE) =="
 python -m tpu_sage.cli --problem-path "$OUT/problem.h5" \
   --aggregator-class mean --n-train-samples 10,5 --n-val-samples 10,5 \
   --batch-size 256 --epochs 2 --partitioned --unsupervised
+
+echo "== exact full-graph validation + serving export =="
+python -m tpu_sage.cli --problem-path "$OUT/problem.h5" \
+  --aggregator-class mean --n-train-samples 10,5 --n-val-samples 25,10 \
+  --batch-size 256 --epochs 2 --exact-val \
+  --checkpoint-path "$OUT/exact.npz"
+python -m tpu_sage.export --problem-path "$OUT/problem.h5" \
+  --checkpoint "$OUT/exact.npz" --out "$OUT/embeddings.npy" \
+  --n-train-samples 10,5 --n-val-samples 25,10
+
+echo "== hierarchical (host, chip) halo on a 2-D mesh =="
+python -m tpu_sage.cli --problem-path "$OUT/problem.h5" \
+  --aggregator-class mean --n-train-samples 10,5 --n-val-samples 10,5 \
+  --batch-size 256 --epochs 2 --partitioned --halo hier2d

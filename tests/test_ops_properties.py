@@ -28,14 +28,15 @@ def test_row_gather_chunked_always_matches(monkeypatch_case):
     rng = np.random.default_rng(seed)
     table = jnp.asarray(rng.standard_normal((n_table, width)), jnp.float32)
     ids = jnp.asarray(rng.integers(0, n_table, size=n_ids), jnp.int32)
-    # swap the module knobs for this example (hypothesis runs many examples
-    # per test call, so pytest's monkeypatch fixture can't scope them)
-    old = ops._N_CHUNKS, ops._CHUNK_MIN_ROWS
+    # n_chunks is an explicit argument now (config-driven); only the size
+    # threshold remains a module constant (hypothesis runs many examples per
+    # test call, so pytest's monkeypatch fixture can't scope it)
+    old = ops._CHUNK_MIN_ROWS
     try:
-        ops._N_CHUNKS, ops._CHUNK_MIN_ROWS = n_chunks, min_rows
-        got = np.asarray(ops.row_gather_chunked(table, ids))
+        ops._CHUNK_MIN_ROWS = min_rows
+        got = np.asarray(ops.row_gather_chunked(table, ids, n_chunks=n_chunks))
     finally:
-        ops._N_CHUNKS, ops._CHUNK_MIN_ROWS = old
+        ops._CHUNK_MIN_ROWS = old
     np.testing.assert_array_equal(got, np.asarray(table[ids]))
 
 
@@ -59,12 +60,14 @@ def test_row_gather_fanout_mean_always_matches(case):
     ids = jnp.asarray(
         rng.integers(0, n_table, size=n_roots * fanout), jnp.int32
     )
-    old = ops._N_CHUNKS, ops._CHUNK_MIN_ROWS
+    old = ops._CHUNK_MIN_ROWS
     try:
-        ops._N_CHUNKS, ops._CHUNK_MIN_ROWS = n_chunks, min_rows
-        got = np.asarray(ops.row_gather_fanout_mean(table, ids, fanout))
+        ops._CHUNK_MIN_ROWS = min_rows
+        got = np.asarray(
+            ops.row_gather_fanout_mean(table, ids, fanout, n_chunks=n_chunks)
+        )
     finally:
-        ops._N_CHUNKS, ops._CHUNK_MIN_ROWS = old
+        ops._CHUNK_MIN_ROWS = old
     want = np.asarray(table[ids]).reshape(n_roots, fanout, -1).mean(axis=1)
     assert got.shape == (n_roots, 4)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
