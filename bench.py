@@ -25,10 +25,12 @@ stays for the partitioned halo exchange (4× fewer ICI bytes) and HBM-tight
 configs; quality was verified identical at Reddit scale either way
 (RESULTS.md). The ``feature_storage`` field labels the config.
 
-Round 3: gather_chunks default moved 4 → 8 after a whole-step sweep
-(59.90M edges/s at 8 vs 57.41M at 4, RESULTS.md round 3; int8 re-measured
-59.10M under the same default — bf16 stays). Current headline:
-**59.90M edges/s/chip, 73.9× the torch baseline, 2.350 ms/step.**
+Round 3: gather_chunks default moved 4 → 8 (whole-step sweep: 59.90M at 8
+vs 57.41M at 4) and the gather form flipped to plain+chunked everywhere
+(61.46M plain vs 59.70M masked, same session — the chunk overlap now beats
+round 2d's defusion trick; RESULTS.md round 3). Current headline:
+**61.81M edges/s/chip, 76.3× the torch baseline, 2.278 ms/step** (bf16;
+int8 58.81M).
 """
 
 from __future__ import annotations

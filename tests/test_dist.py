@@ -496,14 +496,14 @@ def test_elastic_resume_across_shard_counts(mesh, tmp_path):
 
 
 def test_halo_auto_resolution(mesh):
-    """The default halo mode resolves per mesh size: exact at 1 shard, ring
-    multi-shard (the per-mesh winners in SCALING_r02.json); explicit modes
-    pass through untouched."""
+    """The default halo mode resolves to exact (the round-3 measured winner
+    at every shard count — SCALING_r03.json); explicit modes pass through
+    untouched."""
     from tpu_sage.dist.train import resolve_halo_mode
 
     assert resolve_halo_mode("auto", 1) == "exact"
-    assert resolve_halo_mode("auto", 8) == "ring"
-    for mode in ("exact", "ring", "bucketed"):
+    assert resolve_halo_mode("auto", 8) == "exact"
+    for mode in ("exact", "ring", "pipelined", "bucketed"):
         assert resolve_halo_mode(mode, 1) == mode
         assert resolve_halo_mode(mode, 8) == mode
 
@@ -512,7 +512,7 @@ def test_halo_auto_resolution(mesh):
                       n_val_samples=(3, 2), output_dims=(16, 16))
     assert cfg.halo == "auto"
     trainer, *_ = PartitionedTrainer.from_store(store, cfg, mesh)
-    assert trainer.halo_mode == "ring"  # 8-shard mesh
+    assert trainer.halo_mode == "exact"
 
 
 def test_halo_mode_validation():

@@ -35,9 +35,11 @@ def test_row_gather_1d_table():
 
 
 def test_row_gather_oob_zero_fill():
+    # the masked form zero-fills OOB rows (the default is "plain" since
+    # round 3, which keeps XLA's clamp semantics)
     table = jnp.arange(12, dtype=jnp.float32).reshape(4, 3) + 1.0
     ids = jnp.asarray([-1, 0, 3, 4], jnp.int32)
-    out = np.asarray(row_gather(table, ids))
+    out = np.asarray(row_gather(table, ids, form="masked"))
     np.testing.assert_array_equal(out[0], 0.0)
     np.testing.assert_array_equal(out[3], 0.0)
     np.testing.assert_array_equal(out[1], np.asarray(table[0]))

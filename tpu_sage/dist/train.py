@@ -56,19 +56,22 @@ HALO_MODES = ("auto", "exact", "ring", "pipelined", "bucketed", "hier2d")
 def resolve_halo_mode(mode: str, n_shards: int) -> str:
     """Resolve the config's halo mode to a concrete implementation.
 
-    ``auto`` (the default) picks ``exact`` on a 1-shard mesh and ``ring``
-    otherwise: on the 8-shard mesh ring measured fastest of the three
-    (38.5 vs bucketed 40.9 vs exact 45.4 ms/step, SCALING_r02.json) while at
-    1 shard its degenerate ppermute chain measured worst (11.1 vs 6.3) —
-    explicit modes pass through for A/B and for topologies where exact's
-    all_gather wins.
+    ``auto`` (the default) resolves to ``exact`` everywhere as of round 3:
+    three independent 8-shard CPU-mesh runs measured exact fastest (quiet
+    host: exact 45.7 < pipelined 56.6 < bucketed 69.8 < ring 77.3 ms/step,
+    SCALING_r03.json), reversing round 2's ring win (SCALING_r02.json —
+    the ordering is environment-sensitive; re-measure per deployment with
+    scripts/bench_halo.py). Among the overlap formulations the hop-major
+    ``pipelined`` ring beats the per-level ``ring`` by ~27% and is the
+    preferred ring-style choice on topologies where all_gather schedules
+    poorly. Explicit modes pass through for A/B.
     """
     if mode not in HALO_MODES:
         raise ValueError(
             f"unknown halo mode {mode!r}; valid choices: {', '.join(HALO_MODES)}"
         )
     if mode == "auto":
-        return "exact" if n_shards == 1 else "ring"
+        return "exact"
     return mode
 
 

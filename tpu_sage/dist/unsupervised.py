@@ -392,7 +392,11 @@ def fit_unsupervised_partitioned(
         log(rec)
         maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
                          config=config)
-    if probe and store.task == "classification" and history:
+    if (probe and store.task == "classification" and history
+            and jax.process_count() == 1):
+        # (embed_fold re-shards the FULL graph with a host-side device_put,
+        # which cannot target non-addressable devices — multi-process runs
+        # evaluate offline from the checkpoint instead)
         from tpu_sage.train.unsupervised import logistic_probe
 
         acc = logistic_probe(

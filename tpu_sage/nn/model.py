@@ -151,20 +151,17 @@ class GSSupervised(nn.Module):
             and len(self.layer_specs) >= 1
         ):
             return self._encode_fused(levels, feats)
-        # The gather lowering is consumer-dependent (ops.row_gather doc): the
-        # mean aggregator's first-layer matmul wants the gather materialized
-        # ("masked", −15% whole step); every MLP/softmax-consumer aggregator
-        # measured faster with the gather left fusable ("plain"). Plain-form
-        # NON-deepest levels additionally split into independent chunk
-        # gathers so their descriptor streams overlap
-        # (ops.row_gather_chunked: gcn −9%, attention −5% whole step);
-        # chunking a masked level's RAW rows instead regresses 36% (concat
-        # re-materialization forfeits the defusion win), so masked non-last
-        # levels keep one gather each — the deepest level chunks via the
-        # fused per-root summary below, whose concat is summaries, not rows.
-        form = overrides.gather_form(self.gather_form) or (
-            "masked" if self.aggregator_class == "mean" else "plain"
-        )
+        # The gather lowering is "plain" + chunked for every aggregator since
+        # round 3: at gather_chunks=8 the descriptor-stream overlap dominates
+        # and plain-everywhere measures 61.46M edges/s on the mean headline
+        # vs 59.70M masked-everywhere (same-session A/B, bench_logs/r3_form*)
+        # — reversing round 2d, where the mean path won with "masked"
+        # (gather forced to materialize, 4 unchunked levels). "masked" stays
+        # reachable via gather_form for A/B; it keeps the round-2d shape
+        # (one unchunked gather per non-deepest level — chunking masked RAW
+        # rows regressed 36% there, the concat re-materialization forfeits
+        # the defusion win).
+        form = overrides.gather_form(self.gather_form) or "plain"
         if form == "masked":
             gather = row_gather
         else:

@@ -38,16 +38,17 @@ def row_gather(table: jnp.ndarray, ids: jnp.ndarray, form: str | None = None) ->
 
     ``form`` picks the emitter the consumer measured fastest with:
 
-    - ``"masked"`` (default): clip + post-gather select. The select forces
-      the gathered rows to materialize as a standalone fused-gather kernel.
-      Measured fastest when the consumer is the mean aggregator's first-layer
-      matmul (3.10 vs 3.65 ms/step headline) — the plain form fuses the
-      gather INTO that matmul and serializes it.
-    - ``"plain"``: ``table[ids]`` untouched, letting XLA fuse the gather into
-      the consumer. Measured fastest for every OTHER aggregator family
-      (same-session A/B, bf16 batch-512 Reddit bench: gcn 3.95 vs 4.80,
-      attention 6.24 vs 8.36, lstm 7.42 vs 8.30 ms/step) — their per-neighbor
-      MLP/softmax consumers want the fusion the mean path wants broken.
+    - ``"plain"`` (default since round 3): ``table[ids]`` untouched, letting
+      XLA fuse the gather into the consumer and split into overlapping
+      chunks (``row_gather_chunked``). At the round-3 ``gather_chunks=8``
+      default, plain-everywhere measures 61.46M edges/s on the mean headline
+      vs 59.70M masked-everywhere (same session, bench_logs/r3_form*) — the
+      chunk overlap now beats the defusion trick for every aggregator.
+    - ``"masked"``: clip + post-gather select. The select forces the
+      gathered rows to materialize as a standalone fused-gather kernel —
+      the round-2 winner for the mean path at 4 unchunked masked levels
+      (3.10 vs 3.65 ms/step then); kept for A/B and for OOB-zero-fill
+      semantics where a caller wants them.
 
     ``ids`` may have any shape; trailing table dims broadcast. Under
     ``"masked"``, OOB ids yield zero rows (never produced by the samplers —
@@ -64,7 +65,7 @@ def row_gather(table: jnp.ndarray, ids: jnp.ndarray, form: str | None = None) ->
     own = getattr(table, "row_gather", None)
     if own is not None:
         return own(ids, form=form)
-    form = overrides.gather_form(form) or "masked"
+    form = overrides.gather_form(form) or "plain"
     if form == "plain":
         return table[ids]
     m = table.shape[0]

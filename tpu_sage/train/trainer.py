@@ -78,9 +78,9 @@ class TrainConfig:
     fuse_first_layer: bool = False  # whole-table projection trick (mean+identity)
     # Measured-perf gather knobs (round-2 A/B results baked in as defaults;
     # TPU_SAGE_* env vars remain whole-program overrides — tpu_sage.overrides):
-    gather_form: Optional[str] = None  # None = per-aggregator policy
-    # ("masked" for mean — forces the gather to materialize, −15% whole step;
-    # "plain" elsewhere — lets XLA fuse gather into the MLP/softmax consumer)
+    gather_form: Optional[str] = None  # None = "plain" everywhere (round-3
+    # winner at gather_chunks=8: 61.46M vs 59.70M masked on the mean
+    # headline); "masked" forces the round-2d materialized lowering for A/B
     gather_chunks: int = 8  # split big gathers into k independent ops so
     # their descriptor streams overlap; 8 measured best whole-step (round 3:
     # 59.8M vs 57.4M edges/s at 4; use divisors of the deepest level's roots)
@@ -92,9 +92,9 @@ class TrainConfig:
     # serving-mode metric; supported for mean/gcn/max_pool/mean_pool (the
     # permutation-invariant aggregators), dense adjacency only
     halo: str = "auto"  # partitioned-path gather: "auto" | "exact" | "ring" |
-    # "bucketed". "auto" resolves at trainer build: exact on a 1-shard mesh,
-    # ring otherwise (ring measured fastest multi-shard, worst at 1 shard —
-    # SCALING_r02.json; resolution in dist/train.py::resolve_halo_mode)
+    # "pipelined" | "bucketed" | "hier2d". "auto" resolves to exact (the
+    # round-3 measured winner at every shard count — SCALING_r03.json;
+    # resolution + per-mode notes in dist/train.py::resolve_halo_mode)
     halo_capacity_factor: float = 2.0  # bucketed capacity = factor*q/n_shards
 
     @classmethod
