@@ -145,3 +145,33 @@ def test_partitioned_full_graph_2d_mesh_and_int8():
     # int8 storage is lossy; the layerwise math on dequantized rows must
     # stay close to the dense run
     np.testing.assert_allclose(got8, want, rtol=0.1, atol=0.05)
+
+
+@pytest.mark.parametrize("prep", ["linear", "node_embedding"])
+def test_partitioned_full_graph_preps(prep):
+    """Sharded exact inference with the non-identity preps — in particular
+    node_embedding on a node count NOT divisible by the shard count (the
+    last shard's embedding slice must stay aligned, not clamp-shift)."""
+    from tpu_sage.dist.mesh import make_mesh
+    from tpu_sage.dist.partition import shard_graph
+    from tpu_sage.nn.full_graph import embed_all_nodes_partitioned
+
+    mesh = make_mesh()
+    n = 115  # 8 shards of 15 -> 5 padding rows on the last shard
+    store = sbm_store(n_nodes=n, n_classes=3, feat_dim=8, avg_degree=5,
+                      max_degree=8, seed=21)
+    cfg = TrainConfig(n_train_samples=(4, 3), n_val_samples=(4, 3),
+                      output_dims=(16, 16), prep_class=prep,
+                      embedding_dim=8)
+    model = build_model(cfg, store.n_nodes, store.n_classes)
+    graph = store.to_device(train=False)
+    levels = [jnp.zeros((4,), jnp.int32), jnp.zeros((16,), jnp.int32),
+              jnp.zeros((48,), jnp.int32)]
+    params = model.init(jax.random.key(0), levels, graph.feats)
+
+    want = np.asarray(embed_all_nodes(model, params, graph, chunk=16))
+    sharded, _ = shard_graph(store, mesh, train=False)
+    got = np.asarray(embed_all_nodes_partitioned(
+        model, params, sharded, mesh, chunk=8
+    ))[:n]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

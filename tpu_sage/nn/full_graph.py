@@ -210,6 +210,14 @@ def embed_all_nodes_partitioned(
             h = _dense({"params": params["params"]["prep"]}, "fc", h)
         elif model.prep_class == "node_embedding":
             emb = params["params"]["prep"]["embedding"]["embedding"]
+            # pad the (n_nodes, D) table to n_shards·m so the LAST shard's
+            # slice stays aligned (dynamic_slice clamps the start otherwise,
+            # silently shifting real nodes' embedding rows)
+            epad = n_shards * m - emb.shape[0]
+            if epad:
+                emb = jnp.concatenate(
+                    [emb, jnp.zeros((epad, emb.shape[1]), emb.dtype)]
+                )
             my = jax.lax.axis_index(names if len(names) > 1 else names[0])
             local_emb = jax.lax.dynamic_slice(
                 emb, (my * m, 0), (m, emb.shape[1])
