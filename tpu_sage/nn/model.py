@@ -115,7 +115,7 @@ class GSSupervised(nn.Module):
     # TPU_SAGE_* env vars in tpu_sage.overrides remain whole-program A/B
     # overrides):
     gather_form: Optional[str] = None  # None = per-aggregator policy (encode)
-    gather_chunks: int = 8             # descriptor-stream overlap chunk count
+    gather_chunks: int = 10            # descriptor-stream overlap chunk count
     fuse_last: str = "auto"            # deepest-level fused gather+summary:
     # "auto" (on, except lstm — measured loss), "off", "all" (force incl. lstm)
     int8_summean: bool = True          # int8 tables: int32-sum then one dequant

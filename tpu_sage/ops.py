@@ -78,11 +78,12 @@ def row_gather(table: jnp.ndarray, ids: jnp.ndarray, form: str | None = None) ->
 # independent gather ops concurrently, so splitting one big gather into
 # chunks overlaps the descriptor streams: the 141k-row Reddit feature gather
 # measures 3.06 -> 2.00 ms at 4 chunks (scripts/bench_gather_split.py).
-# Whole-step the winner is 8 (round 3: 59.8M vs 57.4M edges/s at 4; clean
-# divisors of the 12 800 deepest-level roots win — 3/6/12 all regress).
-# The chunk count is config-driven (TrainConfig.gather_chunks, default 8);
+# Whole-step the round-3 sweep (at the plain-form default) put the optimum
+# at 10 streams: 62.3M edges/s vs 61.8 (8) / 61.4 (20) / 49.2 (25) /
+# 42.4 (5); divisors of the 12 800 deepest-level roots win (3/6/12 regress).
+# The chunk count is config-driven (TrainConfig.gather_chunks, default 10);
 # TPU_SAGE_GATHER_CHUNKS=1 disables for whole-program A/B (tpu_sage.overrides).
-DEFAULT_CHUNKS = 8
+DEFAULT_CHUNKS = 10
 _CHUNK_MIN_ROWS = 4096  # below this the extra ops cost more than they overlap
 
 

@@ -81,9 +81,10 @@ class TrainConfig:
     gather_form: Optional[str] = None  # None = "plain" everywhere (round-3
     # winner at gather_chunks=8: 61.46M vs 59.70M masked on the mean
     # headline); "masked" forces the round-2d materialized lowering for A/B
-    gather_chunks: int = 8  # split big gathers into k independent ops so
-    # their descriptor streams overlap; 8 measured best whole-step (round 3:
-    # 59.8M vs 57.4M edges/s at 4; use divisors of the deepest level's roots)
+    gather_chunks: int = 10  # split big gathers into k independent ops so
+    # their descriptor streams overlap; 10 measured best whole-step (round-3
+    # sweep: 62.3M vs 61.8 at 8, 57.4 at 4; use divisors of the deepest
+    # level's root count)
     fuse_last: str = "auto"  # deepest-level fused gather+summary:
     # "auto" (on, except lstm — measured −7%), "off", "all"
     int8_summean: bool = True  # int8 tables: exact int32 sum + one dequant
