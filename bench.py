@@ -25,12 +25,12 @@ stays for the partitioned halo exchange (4× fewer ICI bytes) and HBM-tight
 configs; quality was verified identical at Reddit scale either way
 (RESULTS.md). The ``feature_storage`` field labels the config.
 
-Round 3: gather_chunks default moved 4 → 8 (whole-step sweep: 59.90M at 8
-vs 57.41M at 4) and the gather form flipped to plain+chunked everywhere
-(61.46M plain vs 59.70M masked, same session — the chunk overlap now beats
-round 2d's defusion trick; RESULTS.md round 3). Current headline:
-**61.81M edges/s/chip, 76.3× the torch baseline, 2.278 ms/step** (bf16;
-int8 58.81M).
+Round 3: the gather form flipped to plain+chunked everywhere (61.46M plain
+vs 59.70M masked at 8 chunks, same session — the chunk overlap beats round
+2d's defusion trick) and the chunk-count sweep settled on 10 (divisors of
+the deepest level's 12 800 roots win; RESULTS.md round 3). Current headline
+at defaults: **62.18M edges/s/chip, 76.7× the torch baseline,
+2.265 ms/step** (bf16; int8 58.81M).
 """
 
 from __future__ import annotations

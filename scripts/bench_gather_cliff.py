@@ -150,23 +150,23 @@ def main():
 
         @jax.jit
         def run(table, ids_all):
+            # each sub-table is an equal-size m-row slice; the LAST slice is
+            # shifted back to stay in bounds. Ownership masks use the TRUE
+            # disjoint ranges [j·m, (j+1)·m) so every id is answered exactly
+            # once even where the last slice overlaps its neighbor.
+            slice_lo = [min(j * m, N_HEAD - m) for j in range(n_split)]
             subs = [
-                jax.lax.slice_in_dim(
-                    table, min(j * m, N_HEAD - m), min(j * m, N_HEAD - m) + m, axis=0
-                )
-                for j in range(n_split)
+                jax.lax.slice_in_dim(table, lo, lo + m, axis=0)
+                for lo in slice_lo
             ]
-            # NOTE: last sub overlaps to keep equal m; ownership masks below
-            # use the true ranges so each id is answered exactly once.
 
             def step(carry, ids):
                 acc = jnp.zeros((ids.shape[0], 602), jnp.float32)
                 for j, s in enumerate(subs):
-                    lo = min(j * m, N_HEAD - m)
-                    hi = min((j + 1) * m, N_HEAD) if j < n_split - 1 else N_HEAD
-                    local = jnp.clip(ids - lo, 0, m - 1)
+                    lo_true, hi_true = j * m, min((j + 1) * m, N_HEAD)
+                    local = jnp.clip(ids - slice_lo[j], 0, m - 1)
                     rows = jnp.take(s, local, axis=0)
-                    own = (ids >= lo) & (ids < hi)
+                    own = (ids >= lo_true) & (ids < hi_true)
                     acc = acc + jnp.where(own[:, None], rows, 0).astype(jnp.float32)
                 return carry + jnp.sum(acc), None
 

@@ -85,3 +85,21 @@ def test_partitioned_unsupervised_resume(tmp_path, eight_devices):
     assert resumed["start_epoch"] == 2
     epochs = [r["epoch"] for r in recs2 if "epoch" in r]
     assert epochs == [2, 3]
+
+
+def test_partitioned_unsupervised_hier2d(eight_devices):
+    """--unsupervised --partitioned --halo hier2d works end to end: the fit
+    loop auto-builds the (host, chip) mesh / tuple axis (the supervised loop
+    already did; the unsupervised twin used to crash on a flat mesh)."""
+    problem = sbm_problem(n_nodes=400, n_classes=3, feat_dim=16, avg_degree=6,
+                          p_in=0.9, seed=15)
+    cfg = TrainConfig(batch_size=64, epochs=2, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(16, 16),
+                      lr_init=0.005, halo="hier2d")
+    trainer, state, hist = fit_unsupervised_partitioned(
+        problem.store, cfg, UnsupConfig(walk_length=2, n_negatives=4),
+        log=lambda d: None,
+    )
+    assert trainer.halo_mode == "hier2d"
+    assert hist[-1]["unsup_loss"] < hist[0]["unsup_loss"] * 1.05
+    assert np.isfinite(hist[-1]["probe_val_accuracy"])

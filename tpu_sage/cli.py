@@ -75,8 +75,8 @@ def parse_args(argv=None):
                     choices=["auto", "exact", "ring", "pipelined", "bucketed",
                              "hier2d"],
                     help="halo-exchange implementation for --partitioned "
-                         "(default auto: exact at 1 shard, ring multi-shard — "
-                         "the per-mesh winners in SCALING_r02.json; 'pipelined' "
+                         "(default auto = exact, the round-3 measured winner "
+                         "at every shard count — SCALING_r03.json; 'pipelined' "
                          "interleaves all levels' ring chains hop-major; "
                          "'hier2d' routes within-host before cross-host on a "
                          "(host, chip) mesh)")
@@ -86,12 +86,13 @@ def parse_args(argv=None):
                     help="whole-table projection first layer (mean+identity; "
                          "custom-VJP training path — see RESULTS.md tradeoffs)")
     ap.add_argument("--gather-form", default=None, choices=["masked", "plain"],
-                    help="force one TPU gather lowering everywhere (default: "
-                         "per-aggregator policy — masked for mean, plain "
-                         "elsewhere; measured in RESULTS.md round 2d)")
+                    help="TPU gather lowering (default: plain everywhere — "
+                         "the round-3 measured winner; 'masked' forces the "
+                         "materialized round-2d form for A/B — RESULTS.md)")
     ap.add_argument("--gather-chunks", type=int, default=None,
                     help="split big gathers into k independent ops so their "
-                         "descriptor streams overlap (default 4; 1 disables)")
+                         "descriptor streams overlap (default 10; 1 disables; "
+                         "divisors of the deepest level's root count win)")
     ap.add_argument("--fuse-last", default=None, choices=["auto", "off", "all"],
                     help="deepest-level fused gather+summary (default auto: "
                          "on for all aggregators except lstm, by measurement)")

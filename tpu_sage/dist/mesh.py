@@ -32,6 +32,17 @@ def make_mesh(
     return Mesh(arr, axis_names)
 
 
+def axis_size(mesh: Mesh, axis) -> int:
+    """Total shard count over one axis name or an axis-name tuple (the
+    ``('host', 'chip')`` hierarchical layout shards over the flattened pair,
+    linear index ``host·n_chips + chip``)."""
+    names = (axis,) if isinstance(axis, str) else tuple(axis)
+    size = 1
+    for a in names:
+        size *= mesh.shape[a]
+    return size
+
+
 def init_multihost(coordinator: Optional[str] = None,
                    num_processes: Optional[int] = None,
                    process_id: Optional[int] = None) -> None:

@@ -215,8 +215,8 @@ def shard_graph(
     gather (dist/train.py). ``graph.feat_scale`` is ALWAYS set on the
     partitioned path (ones for dense storage, so the shard_map signatures
     stay uniform; ``x * 1.0`` is bitwise-exact in IEEE float)."""
-    from tpu_sage.dist.train import _axis_size
-    n_shards = _axis_size(mesh, axis)
+    from tpu_sage.dist.mesh import axis_size
+    n_shards = axis_size(mesh, axis)
     arrays, m = partition_arrays(store, n_shards, train)
     sharding = NamedSharding(mesh, P(axis))
     put = lambda x: jax.device_put(jnp.asarray(x), sharding)

@@ -43,6 +43,7 @@ from tpu_sage.dist.halo import (dist_gather, dist_gather_2d,
                                 dist_gather_fanout_mean, dist_gather_ring,
                                 dist_gather_ring_fanout_mean,
                                 dist_gather_ring_pipelined)
+from tpu_sage.dist.mesh import axis_size
 from tpu_sage.dist.partition import shard_fold, shard_graph
 from tpu_sage.graph.graph_data import DeviceGraph, GraphStore
 from tpu_sage.nn.model import GSSupervised
@@ -79,15 +80,32 @@ def _no_overflow() -> jnp.ndarray:
     return jnp.zeros((), jnp.int32)
 
 
-def _axis_size(mesh: Mesh, axis) -> int:
-    """Total shard count over one axis name or an axis-name tuple (the
-    ``('host', 'chip')`` hierarchical layout shards over the flattened pair,
-    linear index ``host·n_chips + chip``)."""
-    names = (axis,) if isinstance(axis, str) else tuple(axis)
-    size = 1
-    for a in names:
-        size *= mesh.shape[a]
-    return size
+def resolve_mesh_axis(config, mesh: Optional[Mesh]):
+    """Mesh + shard-axis selection shared by the partitioned fit loops.
+
+    ``halo='hier2d'`` with no explicit mesh auto-builds the hierarchical
+    topology — one ``host`` row per process, local chips along ``chip`` (the
+    OGBN-products multi-host layout); an explicit 2-axis mesh implies
+    tuple-axis sharding; otherwise one flat ``data`` axis over all devices.
+    """
+    axis = "data"
+    if mesh is None:
+        from tpu_sage.dist.mesh import make_mesh
+
+        if getattr(config, "halo", "auto") == "hier2d":
+            n_hosts = jax.process_count()
+            n_chips = len(jax.devices()) // n_hosts
+            mesh = make_mesh(axis_names=("host", "chip"),
+                             shape=(n_hosts, n_chips))
+            axis = ("host", "chip")
+        else:
+            mesh = make_mesh()
+    elif len(mesh.axis_names) == 2:
+        axis = tuple(mesh.axis_names)
+    return mesh, axis
+
+
+
 
 
 def make_gather(mode: str, n_shards: int, capacity_factor: float):
@@ -349,7 +367,7 @@ class PartitionedTrainer:
         self.mesh = mesh
         self.axis = axis
         self.shard_size = shard_size
-        self.n_shards = _axis_size(mesh, axis)
+        self.n_shards = axis_size(mesh, axis)
         self.loss_fn = loss_lookup[task]
         self.steps_per_epoch = steps_per_epoch
         self.tx = build_optimizer(config, steps_per_epoch)
@@ -392,7 +410,7 @@ class PartitionedTrainer:
         self._epoch_fns = {}
         self._eval_fn = None
         self._eval_graph = None  # cached (graph, shard_size) for evaluate()
-        self._eval_graph_key = None  # id(store) the cache was built from
+        self._eval_graph_key = None  # the GraphStore the cache was built from
 
     # -- construction helpers ----------------------------------------------
 
@@ -410,7 +428,7 @@ class PartitionedTrainer:
             feat_dtype=None if cd == "float32" else cd,
             quantize=getattr(config, "feature_int8", False),
         )
-        n_shards = _axis_size(mesh, axis)
+        n_shards = axis_size(mesh, axis)
         fold_ids, fold_w = shard_fold(store.folds["train"], n_shards, m)
         steps_per_epoch = max(1, len(store.folds["train"]) // config.batch_size)
         sh = NamedSharding(mesh, P(axis))
@@ -741,15 +759,18 @@ class PartitionedTrainer:
     def _full_graph_shard(self, store: GraphStore):
         """Node-sharded FULL graph for evaluation, cached keyed on store
         identity: evaluating against a different store must re-shard, not
-        silently reuse the previous store's graph."""
-        if self._eval_graph is None or self._eval_graph_key != id(store):
+        silently reuse the previous store's graph. The key is a STRONG
+        reference to the store object (``is`` comparison) — a bare ``id()``
+        would be unsafe because CPython reuses addresses of collected
+        objects; pinning the store keeps the id meaningful."""
+        if self._eval_graph is None or self._eval_graph_key is not store:
             cd = getattr(self.config, "compute_dtype", "float32")
             self._eval_graph = shard_graph(
                 store, self.mesh, train=False, axis=self.axis,
                 feat_dtype=None if cd == "float32" else cd,
                 quantize=getattr(self.config, "feature_int8", False),
             )
-            self._eval_graph_key = id(store)
+            self._eval_graph_key = store
         return self._eval_graph
 
     def evaluate_exact(self, state, store: GraphStore, fold: str = "val") -> float:
@@ -760,6 +781,17 @@ class PartitionedTrainer:
         from tpu_sage.nn.full_graph import embed_all_nodes_partitioned
         from tpu_sage.train.trainer import fold_metric_np
 
+        if jax.process_count() > 1:
+            raise RuntimeError(
+                "evaluate_exact is single-process: the eval-graph shard is a "
+                "host-side device_put and the logits are fetched with "
+                "np.asarray, neither of which can span non-addressable "
+                "devices. Multi-host runs: export from the checkpoint "
+                "(export.py --partitioned) or build the sharded graph with "
+                "make_array_from_process_local_data and call "
+                "embed_all_nodes_partitioned directly "
+                "(tests/test_multihost_hier2d.py shows the pattern)."
+            )
         graph_full, _ = self._full_graph_shard(store)
         logits = np.asarray(
             embed_all_nodes_partitioned(
@@ -834,22 +866,7 @@ def fit_partitioned(
 
     if log is None:
         log = lambda d: print(_json.dumps(d), flush=True)
-    axis = "data"
-    if mesh is None:
-        from tpu_sage.dist.mesh import make_mesh
-
-        if getattr(config, "halo", "auto") == "hier2d":
-            # hierarchical topology: one 'host' row per process, local chips
-            # along 'chip' (the OGBN-products multi-host layout)
-            n_hosts = jax.process_count()
-            n_chips = len(jax.devices()) // n_hosts
-            mesh = make_mesh(axis_names=("host", "chip"),
-                             shape=(n_hosts, n_chips))
-            axis = ("host", "chip")
-        else:
-            mesh = make_mesh()
-    elif len(mesh.axis_names) == 2:
-        axis = tuple(mesh.axis_names)
+    mesh, axis = resolve_mesh_axis(config, mesh)
 
     from tpu_sage.train.checkpoint import maybe_checkpoint, resume_state
 
@@ -863,10 +880,16 @@ def fit_partitioned(
     if getattr(config, "exact_val", False):
         from tpu_sage.nn.full_graph import exact_supported
 
-        use_exact_val = exact_supported(trainer.model)
+        # single-process only: the eval-graph re-shard is a host-side
+        # device_put (cannot target non-addressable devices) and the logits
+        # come back through np.asarray — multi-host runs evaluate offline
+        # from the checkpoint instead (export.py --partitioned)
+        use_exact_val = (exact_supported(trainer.model)
+                         and jax.process_count() == 1)
         if not use_exact_val:
-            log({"note": "exact_val unsupported for this aggregator; "
-                         "falling back to sampled validation"})
+            log({"note": "exact_val unsupported for this aggregator or "
+                         "multi-process run; falling back to sampled "
+                         "validation"})
 
     def eval_fold(state, fold, seed):
         if use_exact_val:

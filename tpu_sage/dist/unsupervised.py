@@ -35,7 +35,7 @@ import optax
 from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpu_sage.dist.partition import shard_fold_masked, shard_graph
+from tpu_sage.dist.partition import shard_fold_masked
 from tpu_sage.dist.train import (PartitionedTrainer, epoch_perm,
                                  gather_level_feats, perm_batch,
                                  sample_level_distributed)
@@ -69,7 +69,6 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         self.unsup = unsup
         self.n_real_nodes = n_real_nodes
         self._embed_fn = None
-        self._embed_graph = None
 
     @classmethod
     def from_store(
@@ -306,15 +305,10 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                    ids: np.ndarray, seed: int = 0) -> np.ndarray:
         """Embeddings for arbitrary node sets through the partitioned path on
         the FULL graph (paper's logistic-probe protocol) — aligned with the
-        input ``ids`` order."""
-        if self._embed_graph is None:
-            cd = getattr(self.config, "compute_dtype", "float32")
-            self._embed_graph = shard_graph(
-                store, self.mesh, train=False, axis=self.axis,
-                feat_dtype=None if cd == "float32" else cd,
-                quantize=getattr(self.config, "feature_int8", False),
-            )
-        graph_full, m = self._embed_graph
+        input ``ids`` order. Uses the inherited store-keyed full-graph shard
+        cache (a different store re-shards instead of silently reusing the
+        previous one)."""
+        graph_full, m = self._full_graph_shard(store)
         tbl, mask = shard_fold_masked(
             ids, self.n_shards, m, pad_to_multiple=self.batch_per_shard
         )
@@ -363,15 +357,14 @@ def fit_unsupervised_partitioned(
         unsup = UnsupConfig()
     if log is None:
         log = lambda d: print(_json.dumps(d), flush=True)
-    if mesh is None:
-        from tpu_sage.dist.mesh import make_mesh
+    from tpu_sage.dist.train import resolve_mesh_axis
 
-        mesh = make_mesh()
+    mesh, axis = resolve_mesh_axis(config, mesh)
 
     from tpu_sage.train.checkpoint import maybe_checkpoint, resume_state
 
     trainer, graph, fold_ids, fold_w = PartitionedUnsupervisedTrainer.from_store(
-        store, config, unsup, mesh
+        store, config, unsup, mesh, axis=axis
     )
     neg_logits = trainer.neg_logits(store)
     state = trainer.init_state(feat_dim=store.feat_dim)

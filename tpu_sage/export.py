@@ -69,15 +69,31 @@ def main(argv=None):
         problem = NodeProblem.from_h5(args.problem_path)
 
     model = build_model(config, problem.n_nodes, problem.n_classes)
-    trainer = Trainer(model, config, steps_per_epoch=1, task=problem.task)
-    graph = problem.device_graph(train=False)
-    template = trainer.init_state(graph)
-    state = load_checkpoint(args.checkpoint, template)
-
     if args.partitioned:
+        # the flag exists for graphs that do NOT fit one chip, so the
+        # parameter template is built from tiny dummies (forward_gathered
+        # needs no device-resident feature table) and the only full-graph
+        # upload is the node-SHARDED one
+        import jax
+        import jax.numpy as jnp
+
         from tpu_sage.dist.mesh import make_mesh
         from tpu_sage.dist.partition import shard_graph
         from tpu_sage.nn.full_graph import embed_all_nodes_partitioned
+        from tpu_sage.train.trainer import TrainState, build_optimizer
+
+        levels = [jnp.zeros((1,), jnp.int32)]
+        feats = [jnp.zeros((1, problem.feats_dim))]
+        for f in model.fanouts(train=True):
+            levels.append(jnp.zeros((levels[-1].shape[0] * f,), jnp.int32))
+            feats.append(jnp.zeros((levels[-1].shape[0], problem.feats_dim)))
+        params = model.init(jax.random.key(0), levels, feats,
+                            method=model.forward_gathered)
+        tx = build_optimizer(config, steps_per_epoch=1)
+        template = TrainState(params=params, opt_state=tx.init(params),
+                              step=jnp.zeros((), jnp.int32),
+                              key=jax.random.key(0))
+        state = load_checkpoint(args.checkpoint, template)
 
         mesh = make_mesh()
         sharded, _ = shard_graph(problem.store, mesh, train=False)
@@ -87,6 +103,10 @@ def main(argv=None):
         )
         arr = np.asarray(out)[: problem.n_nodes]
     else:
+        trainer = Trainer(model, config, steps_per_epoch=1, task=problem.task)
+        graph = problem.device_graph(train=False)
+        template = trainer.init_state(graph)
+        state = load_checkpoint(args.checkpoint, template)
         out = embed_all_nodes(model, state.params, graph, chunk=args.chunk,
                               with_head=args.logits)
         arr = np.asarray(out)

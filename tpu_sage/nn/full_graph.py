@@ -197,11 +197,11 @@ def embed_all_nodes_partitioned(
 
     from tpu_sage.dist.halo import dist_gather
 
+    from tpu_sage.dist.mesh import axis_size
+
     _check_exact_supported(model)
     names = (axis,) if isinstance(axis, str) else tuple(axis)
-    n_shards = 1
-    for a in names:
-        n_shards *= mesh.shape[a]
+    n_shards = axis_size(mesh, axis)
 
     def shard_embed(adj, deg, feats, fscale):
         m, max_deg = adj.shape

@@ -152,7 +152,7 @@ class GSSupervised(nn.Module):
         ):
             return self._encode_fused(levels, feats)
         # The gather lowering is "plain" + chunked for every aggregator since
-        # round 3: at gather_chunks=8 the descriptor-stream overlap dominates
+        # round 3: at 8+ gather chunks the descriptor-stream overlap dominates
         # and plain-everywhere measures 61.46M edges/s on the mean headline
         # vs 59.70M masked-everywhere (same-session A/B, bench_logs/r3_form*)
         # — reversing round 2d, where the mean path won with "masked"

@@ -40,8 +40,8 @@ def row_gather(table: jnp.ndarray, ids: jnp.ndarray, form: str | None = None) ->
 
     - ``"plain"`` (default since round 3): ``table[ids]`` untouched, letting
       XLA fuse the gather into the consumer and split into overlapping
-      chunks (``row_gather_chunked``). At the round-3 ``gather_chunks=8``
-      default, plain-everywhere measures 61.46M edges/s on the mean headline
+      chunks (``row_gather_chunked``). At 8+ gather chunks (round-3
+      defaults), plain-everywhere measures 61.46M edges/s on the mean headline
       vs 59.70M masked-everywhere (same session, bench_logs/r3_form*) — the
       chunk overlap now beats the defusion trick for every aggregator.
     - ``"masked"``: clip + post-gather select. The select forces the
