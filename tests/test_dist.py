@@ -781,3 +781,18 @@ def test_partitioned_exact_val(mesh):
     assert hist[-1]["val_metric"] == trainer.evaluate_exact(state, store,
                                                             fold="val")
     assert hist[-1]["val_metric"] > 0.5
+
+
+def test_partitioned_early_stopping(mesh):
+    """patience works through fit_partitioned too."""
+    from tpu_sage.dist.train import fit_partitioned
+
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=32, avg_degree=8,
+                      feat_noise=0.2, seed=43)
+    cfg = TrainConfig(batch_size=64, epochs=30, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32),
+                      lr_init=0.01, patience=3)
+    records = []
+    _, _, hist = fit_partitioned(store, cfg, mesh=mesh, log=records.append)
+    assert len(hist) < 30
+    assert any(r.get("early_stop") for r in records)

@@ -202,3 +202,48 @@ def test_three_layer_model_converges():
     _, _, hist = fit(problem, cfg, log=lambda d: None)
     assert hist[-1]["train_loss"] < hist[0]["train_loss"]
     assert hist[-1]["val_metric"] > 0.85
+
+
+def test_early_stopping_patience():
+    """patience=N stops training after N consecutive epochs without val
+    improvement (the SBM saturates at val 1.0 within a couple of epochs, so
+    a 30-epoch budget must terminate early) and logs the early_stop record."""
+    problem = sbm_problem(n_nodes=500, n_classes=4, feat_dim=32, avg_degree=8,
+                          feat_noise=0.2, seed=41)
+    cfg = TrainConfig(batch_size=64, epochs=30, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32),
+                      lr_init=0.01, patience=3)
+    records = []
+    _, _, hist = fit(problem, cfg, log=records.append)
+    assert len(hist) < 30
+    stops = [r for r in records if r.get("early_stop")]
+    assert stops and stops[0]["stale_epochs"] == 3
+    assert stops[0]["best_val_metric"] == max(h["val_metric"] for h in hist)
+
+
+def test_save_best_checkpoint(tmp_path):
+    """save_best keeps the checkpoint at the best-so-far val state: after a
+    run whose metric saturates, the stored step is the FIRST epoch that hit
+    the best metric, not the last epoch."""
+    from tpu_sage.train.checkpoint import read_checkpoint_config
+
+    problem = sbm_problem(n_nodes=500, n_classes=4, feat_dim=32, avg_degree=8,
+                          feat_noise=0.2, seed=42)
+    ck = str(tmp_path / "best.npz")
+    cfg = TrainConfig(batch_size=64, epochs=6, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32),
+                      lr_init=0.01, save_best=True)
+    records = []
+    _, state, hist = fit(problem, cfg, log=records.append, resume_from=ck)
+    best_writes = [r for r in records if "checkpoint_best" in r]
+    assert best_writes, records
+    best_val = max(h["val_metric"] for h in hist)
+    assert best_writes[-1]["val_metric"] == best_val
+    first_best_epoch = next(i for i, h in enumerate(hist)
+                            if h["val_metric"] == best_val)
+    spe = len(problem.folds["train"]) // cfg.batch_size
+    import numpy as _np
+    with _np.load(ck) as data:
+        stored_step = int(data["step"])
+    assert stored_step == (first_best_epoch + 1) * spe
+    assert read_checkpoint_config(ck)["save_best"] is True

@@ -62,6 +62,12 @@ def parse_args(argv=None):
                     help="also checkpoint to --checkpoint-path every N epochs "
                          "mid-run (crash loses at most N epochs)")
     ap.add_argument("--no-eval", action="store_true", help="skip per-epoch validation")
+    ap.add_argument("--patience", type=int, default=None,
+                    help="early stopping: stop after N epochs without "
+                         "val-metric improvement (default off)")
+    ap.add_argument("--save-best", action="store_true",
+                    help="write --checkpoint-path only on val improvement "
+                         "(the file always holds the best-so-far state)")
     ap.add_argument("--exact-val", action="store_true",
                     help="validate with EXACT full-graph layer-wise inference "
                          "(variance-free serving-mode metric; mean/gcn/pool "
@@ -250,6 +256,10 @@ def main(argv=None):
         flag_values["fuse_last"] = args.fuse_last
     if args.exact_val:
         flag_values["exact_val"] = True
+    if args.patience is not None:
+        flag_values["patience"] = args.patience
+    if args.save_best:
+        flag_values["save_best"] = True
     if args.config:
         # preset json is the base; flags PRESENT ON THE COMMAND LINE override
         # it (detected from raw argv so passing a flag's default value still
@@ -289,6 +299,10 @@ def main(argv=None):
             overrides["fuse_last"] = args.fuse_last
         if args.exact_val:
             overrides["exact_val"] = True
+        if args.patience is not None:
+            overrides["patience"] = args.patience
+        if args.save_best:
+            overrides["save_best"] = True
         config = config.replace(**overrides)
     else:
         config = TrainConfig(**flag_values)
@@ -362,7 +376,9 @@ def main(argv=None):
             csr=args.csr_adjacency,
         )
 
-    if args.checkpoint_path:
+    if args.checkpoint_path and not args.save_best:
+        # --save-best already wrote the best-so-far state to this path;
+        # a final write here would overwrite it with the LAST state
         from tpu_sage.train.checkpoint import save_checkpoint
 
         save_checkpoint(args.checkpoint_path, state, config=config)

@@ -868,11 +868,13 @@ def fit_partitioned(
         log = lambda d: print(_json.dumps(d), flush=True)
     mesh, axis = resolve_mesh_axis(config, mesh)
 
-    from tpu_sage.train.checkpoint import maybe_checkpoint, resume_state
+    from tpu_sage.train.checkpoint import (BestTracker, maybe_checkpoint,
+                                           resume_state)
 
     trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(
         store, config, mesh, axis=axis
     )
+    tracker = BestTracker(config, resume_from, log)
     # one line naming the RESOLVED halo implementation (config may say "auto")
     log({"n_shards": trainer.n_shards, "halo": trainer.halo_mode})
 
@@ -919,8 +921,14 @@ def fit_partitioned(
             rec["val_metric"] = eval_fold(state, "val", config.seed + 1)
         history.append(rec)
         log(rec)
-        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
-                         config=config)
+        if getattr(config, "save_best", False):
+            if tracker.update(rec.get("val_metric"), state):
+                break
+        else:
+            maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
+                             config=config)
+            if tracker.update(rec.get("val_metric"), state):
+                break
     if eval_every_epoch and len(store.folds.get("test", [])):
         log({"final_test_metric": eval_fold(state, "test", config.seed + 2)})
     return trainer, state, history

@@ -95,6 +95,48 @@ def maybe_checkpoint(state: TrainState, resume_from, checkpoint_every: int,
         log({"checkpoint": resume_from, "step": int(state.step)})
 
 
+class BestTracker:
+    """Early stopping + best-checkpoint bookkeeping shared by the fit loops.
+
+    ``update(val, state)`` returns True when training should STOP (no
+    val-metric improvement for ``config.patience`` consecutive epochs).
+    With ``config.save_best`` the checkpoint is written on every improvement
+    instead of periodically, so the file always holds the best-so-far state
+    (resume then restarts from the best epoch — the standard keep-best
+    contract). Metrics are higher-is-better throughout (regression metrics
+    are negated by the eval paths)."""
+
+    def __init__(self, config, resume_from, log):
+        self.patience = getattr(config, "patience", 0)
+        self.save_best = getattr(config, "save_best", False)
+        self.resume_from = resume_from
+        self.log = log
+        self.config = config
+        self.best = None
+        self.stale = 0
+
+    @property
+    def active(self) -> bool:
+        return self.patience > 0 or self.save_best
+
+    def update(self, val, state: TrainState) -> bool:
+        if val is None:
+            return False
+        if self.best is None or val > self.best:
+            self.best, self.stale = val, 0
+            if self.save_best and self.resume_from:
+                save_checkpoint(self.resume_from, state, config=self.config)
+                self.log({"checkpoint_best": self.resume_from,
+                          "val_metric": val, "step": int(state.step)})
+            return False
+        self.stale += 1
+        if self.patience and self.stale >= self.patience:
+            self.log({"early_stop": True, "best_val_metric": self.best,
+                      "stale_epochs": self.stale})
+            return True
+        return False
+
+
 def load_checkpoint(path: str, template: TrainState) -> TrainState:
     """Restore into the shape of ``template`` (same model/optimizer config)."""
     with np.load(path) as data:

@@ -88,6 +88,11 @@ class TrainConfig:
     fuse_last: str = "auto"  # deepest-level fused gather+summary:
     # "auto" (on, except lstm — measured −7%), "off", "all"
     int8_summean: bool = True  # int8 tables: exact int32 sum + one dequant
+    patience: int = 0  # early stopping: stop after N consecutive epochs
+    # without val-metric improvement (0 = off; needs per-epoch validation)
+    save_best: bool = False  # checkpoint only on val improvement instead of
+    # periodically — the checkpoint file always holds the best-so-far state
+    # (resume then restarts from the best epoch)
     exact_val: bool = False  # validate with EXACT full-graph layer-wise
     # inference (nn/full_graph) instead of sampled eval — variance-free, the
     # serving-mode metric; supported for mean/gcn/max_pool/mean_pool (the
@@ -449,10 +454,12 @@ def fit(
     graph_full = problem.device_graph(
         train=False, csr=csr, quantize=config.feature_int8
     )
-    from tpu_sage.train.checkpoint import maybe_checkpoint, resume_state
+    from tpu_sage.train.checkpoint import (BestTracker, maybe_checkpoint,
+                                           resume_state)
 
     state = trainer.init_state(graph_train)
     state, start_epoch = resume_state(state, resume_from, steps_per_epoch, log)
+    tracker = BestTracker(config, resume_from, log)
 
     fold_ids = jnp.asarray(train_ids, jnp.int32)
     fold_targets = jnp.asarray(problem.store.targets[train_ids])
@@ -536,8 +543,15 @@ def fit(
             rec = validate(rec)
         history.append(rec)
         log(rec)
-        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
-                         config=config)
+        if config.save_best:
+            # best-checkpoint mode replaces the periodic write (same file)
+            if tracker.update(rec.get("val_metric"), state):
+                break
+        else:
+            maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
+                             config=config)
+            if tracker.update(rec.get("val_metric"), state):
+                break
 
     test_ids = problem.folds.get("test", np.array([], dtype=np.int64))
     if eval_every_epoch and len(test_ids):
