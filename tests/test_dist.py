@@ -796,3 +796,31 @@ def test_partitioned_early_stopping(mesh):
     _, _, hist = fit_partitioned(store, cfg, mesh=mesh, log=records.append)
     assert len(hist) < 30
     assert any(r.get("early_stop") for r in records)
+
+
+def test_checkpoint_resumes_across_halo_topologies(mesh, mesh2d, tmp_path):
+    """A checkpoint from a flat 8-shard exact run resumes on the 2-D
+    (host, chip) hier2d mesh: params/optimizer state are replicated and
+    topology-independent, so elastic restarts may change the halo mode and
+    mesh shape, not just the shard count."""
+    from tpu_sage.dist.train import fit_partitioned
+
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=6,
+                      seed=44)
+    ck = str(tmp_path / "topo.npz")
+    base = dict(batch_size=64, n_train_samples=(5, 3), n_val_samples=(5, 3),
+                output_dims=(32, 32), lr_init=0.01)
+    cfg_flat = TrainConfig(epochs=2, halo="exact", **base)
+    fit_partitioned(store, cfg_flat, mesh=mesh, log=lambda d: None,
+                    resume_from=ck, checkpoint_every=1,
+                    eval_every_epoch=False)
+
+    records = []
+    cfg_h = TrainConfig(epochs=4, halo="hier2d", **base)
+    _, _, hist = fit_partitioned(store, cfg_h, mesh=mesh2d,
+                                 log=records.append, resume_from=ck,
+                                 eval_every_epoch=True)
+    resumed = next(r for r in records if "resumed_from" in r)
+    assert resumed["start_epoch"] == 2
+    assert [h["epoch"] for h in hist] == [2, 3]
+    assert hist[-1]["val_metric"] > 0.5
