@@ -45,6 +45,8 @@ def time_partitioned(halo, n_nodes, feat_dim, batch_size, steps, fanouts,
         batch_size=batch_size, n_train_samples=fanouts, n_val_samples=fanouts,
         output_dims=(128, 128), halo=halo, compute_dtype="bfloat16",
         feature_int8=feature_int8,
+        # experimental chunked halo exchange (TrainConfig.halo_chunks)
+        halo_chunks=int(os.environ.get("BENCH_HALO_CHUNKS", "1")),
     )
     trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(
         store, config, mesh

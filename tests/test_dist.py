@@ -824,3 +824,37 @@ def test_checkpoint_resumes_across_halo_topologies(mesh, mesh2d, tmp_path):
     assert resumed["start_epoch"] == 2
     assert [h["epoch"] for h in hist] == [2, 3]
     assert hist[-1]["val_metric"] > 0.5
+
+
+def test_halo_chunks_bitwise_and_trains(mesh):
+    """halo_chunks splits the exact exchange into equal query chunks —
+    bitwise-identical losses to the unchunked exchange (each chunk is its
+    slice of the same collective answer), including the fused last level."""
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=6,
+                      seed=45)
+    base = dict(batch_size=64, epochs=1, n_train_samples=(5, 3),
+                n_val_samples=(5, 3), output_dims=(32, 32), lr_init=0.01,
+                halo="exact")
+
+    def losses(**kw):
+        cfg = TrainConfig(**base, **kw)
+        trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(
+            store, cfg, mesh
+        )
+        state = trainer.init_state(feat_dim=store.feat_dim)
+        out = []
+        for _ in range(8):
+            state, m = trainer.train_step(state, graph, fold_ids, fold_w)
+            out.append(float(m["loss"]))
+        return out
+
+    # _CHUNK_MIN_ROWS keeps tiny test exchanges unchunked; drop it for the test
+    import tpu_sage.ops as ops
+    old = ops._CHUNK_MIN_ROWS
+    try:
+        ops._CHUNK_MIN_ROWS = 1
+        chunked = losses(halo_chunks=4)
+    finally:
+        ops._CHUNK_MIN_ROWS = old
+    plain = losses()
+    np.testing.assert_allclose(chunked, plain, rtol=1e-6)

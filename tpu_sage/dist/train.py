@@ -108,7 +108,19 @@ def resolve_mesh_axis(config, mesh: Optional[Mesh]):
 
 
 
-def make_gather(mode: str, n_shards: int, capacity_factor: float):
+def _chunk_queries(n_chunks: int, q: int) -> int:
+    """Effective chunk count for a halo exchange of ``q`` queries — the
+    single-device descriptor-stream-overlap lever (ops.snap_chunks) applied
+    to the shard-local answering gathers inside the collectives."""
+    from tpu_sage.ops import _CHUNK_MIN_ROWS, snap_chunks
+
+    if n_chunks <= 1 or q < _CHUNK_MIN_ROWS:
+        return 1
+    return snap_chunks(n_chunks, q)
+
+
+def make_gather(mode: str, n_shards: int, capacity_factor: float,
+                n_chunks: int = 1):
     """Pick the halo-exchange implementation (SURVEY.md §5.7).
 
     Every implementation returns ``(rows, n_overflow)`` — a () int32 count of
@@ -119,16 +131,32 @@ def make_gather(mode: str, n_shards: int, capacity_factor: float):
     telemetry (plumbed into step metrics and the per-epoch JSON line).
 
     ``exact``: all_gather + psum_scatter — no drops, comm O(n_dev·q·d).
+    With ``n_chunks`` > 1 the exchange splits into equal query chunks whose
+    answering gathers (and collectives) are independent — the same
+    descriptor-stream overlap that chunked single-device gathers measure
+    (each chunk is element-identical to its slice of the full exchange).
     ``ring``: ppermute neighbor-hop chain, same bytes as exact but pipelines
-    the exchange with the per-hop fill (the ring-attention-style fallback).
+    the exchange with the per-hop fill (the ring-attention-style fallback;
+    not chunked — splitting would multiply the hop chains).
     ``bucketed``: MoE-style capacity routing — comm O(capacity·d); queries
     over capacity fall back to zero rows — overflow is rare with
     ``capacity_factor`` ≥ 2 on uniform neighbor distributions, but must be
     monitored, hence the count.
     """
     if mode == "exact":
-        return lambda table, ids, axis: (dist_gather(table, ids, axis),
-                                         _no_overflow())
+
+        def exact(table, ids, axis):
+            k = _chunk_queries(n_chunks, ids.shape[0])
+            if k <= 1:
+                return dist_gather(table, ids, axis), _no_overflow()
+            c = ids.shape[0] // k
+            parts = [
+                dist_gather(table, ids[j * c : (j + 1) * c], axis)
+                for j in range(k)
+            ]
+            return jnp.concatenate(parts, axis=0), _no_overflow()
+
+        return exact
     if mode in ("ring", "pipelined"):
         # pipelined differs only on the LEVEL-FEATURE exchange (see
         # make_gather_levels); sampling hops are data-dependent chains and
@@ -156,7 +184,8 @@ def make_gather(mode: str, n_shards: int, capacity_factor: float):
     return bucketed
 
 
-def make_gather_last(mode: str, n_shards: int, capacity_factor: float = 2.0):
+def make_gather_last(mode: str, n_shards: int, capacity_factor: float = 2.0,
+                     n_chunks: int = 1):
     """Fused halo-gather + fanout-mean for the DEEPEST tree level.
 
     On the mean/gcn paths the deepest level's rows have one consumer — the
@@ -178,9 +207,27 @@ def make_gather_last(mode: str, n_shards: int, capacity_factor: float = 2.0):
     Same ``(rows, n_overflow)`` contract as :func:`make_gather`.
     """
     if mode == "exact":
-        return lambda table, ids, fanout, axis: (
-            dist_gather_fanout_mean(table, ids, fanout, axis), _no_overflow()
-        )
+
+        def exact_mean(table, ids, fanout, axis):
+            n_roots = ids.shape[0] // fanout
+            k = _chunk_queries(n_chunks, ids.shape[0])
+            k = min(k, n_roots)
+            while k > 1 and n_roots % k:
+                k -= 1
+            if k <= 1:
+                return (dist_gather_fanout_mean(table, ids, fanout, axis),
+                        _no_overflow())
+            cb = n_roots // k  # roots per chunk (exact)
+            parts = [
+                dist_gather_fanout_mean(
+                    table, ids[j * cb * fanout : (j + 1) * cb * fanout],
+                    fanout, axis,
+                )
+                for j in range(k)
+            ]
+            return jnp.concatenate(parts, axis=0), _no_overflow()
+
+        return exact_mean
     if mode in ("ring", "pipelined"):
         return lambda table, ids, fanout, axis: (
             dist_gather_ring_fanout_mean(table, ids, fanout, axis, n_shards),
@@ -382,10 +429,13 @@ class PartitionedTrainer:
                 f"{axis!r} — build the mesh with make_mesh(axis_names="
                 "('host', 'chip'), shape=(n_hosts, n_chips))"
             )
+        # off (1) by default until measured on-chip — see TrainConfig.halo_chunks
+        halo_chunks = getattr(config, "halo_chunks", 1)
         self.gather = make_gather(
             self.halo_mode,
             self.n_shards,
             getattr(config, "halo_capacity_factor", 2.0),
+            n_chunks=halo_chunks,
         )
         # fused deepest-level gather+mean (see make_gather_last): valid only
         # when the first aggregation pass means over the fanout and the prep
@@ -399,6 +449,7 @@ class PartitionedTrainer:
                 self.halo_mode,
                 self.n_shards,
                 getattr(config, "halo_capacity_factor", 2.0),
+                n_chunks=halo_chunks,
             )
             if model.aggregator_class in ("mean", "gcn")
             and model.prep_class == "identity"

@@ -79,6 +79,9 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         mesh: Mesh,
         axis: str = "data",
     ) -> Tuple["PartitionedUnsupervisedTrainer", DeviceGraph, jnp.ndarray, jnp.ndarray]:
+        from tpu_sage.train.unsupervised import unsup_gather_defaults
+
+        config = unsup_gather_defaults(config)
         graph, m, steps_per_epoch, fold_ids_d, fold_w_d = cls._sharded_inputs(
             store, config, mesh, axis
         )

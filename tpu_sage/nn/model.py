@@ -230,7 +230,7 @@ class GSSupervised(nn.Module):
         exactly per chunk; the concat re-materializes only the summaries.
         ``x_self_rows`` are the (identity-prep'd) level-(L-1) rows, chunked
         in step (attention's queries)."""
-        from tpu_sage.ops import _CHUNK_MIN_ROWS
+        from tpu_sage.ops import _CHUNK_MIN_ROWS, snap_chunks
 
         n_chunks = overrides.gather_chunks(self.gather_chunks)
         agg0 = self.agg_layers[0]
@@ -241,12 +241,13 @@ class GSSupervised(nn.Module):
             if n_chunks > 1 and n >= _CHUNK_MIN_ROWS and n_roots >= n_chunks
             else 1
         )
-        cb = -(-n_roots // nc)  # roots per chunk (ceil)
+        # equal-sized chunks only: a ragged tail chunk serializes
+        # (ops.snap_chunks doc carries the measurements)
+        nc = snap_chunks(nc, n_roots) if nc > 1 else 1
+        cb = n_roots // nc  # roots per chunk (exact by construction)
         parts = []
         for j in range(nc):
-            lo, hi = j * cb, min((j + 1) * cb, n_roots)
-            if lo >= hi:
-                break
+            lo, hi = j * cb, (j + 1) * cb
             rows = row_gather(feats, levels[-1][lo * fanout : hi * fanout], form=form)
             parts.append(
                 agg0.neigh_summary(

@@ -87,6 +87,21 @@ DEFAULT_CHUNKS = 10
 _CHUNK_MIN_ROWS = 4096  # below this the extra ops cost more than they overlap
 
 
+def snap_chunks(n_chunks: int, n_units: int) -> int:
+    """Largest k ≤ ``n_chunks`` that divides ``n_units`` (falling back to 1).
+
+    Ragged tail chunks serialize and cost far more than a slightly lower
+    stream count: on the 12 800-root supervised tree, 3/6/12 chunks (ragged)
+    measure 54.5/46.2/57.1M edges/s while 8/10 (clean) measure 61.8/62.3M;
+    the unsupervised tree's 6 144 roots regressed 44.5 → 29.7M when the
+    fixed default 10 left a ragged tail (round-3 logs). Snapping keeps every
+    chunk equal-sized for whatever tree shape the caller brings."""
+    for k in range(min(n_chunks, n_units), 1, -1):
+        if n_units % k == 0:
+            return k
+    return 1
+
+
 def row_gather_chunked(
     table: jnp.ndarray,
     ids: jnp.ndarray,
@@ -104,11 +119,13 @@ def row_gather_chunked(
     n = ids.shape[0] if ids.ndim == 1 else 0
     if n_chunks <= 1 or n < _CHUNK_MIN_ROWS:
         return row_gather(table, ids, form=form)
-    c = -(-n // n_chunks)  # ceil; the last chunk takes the remainder
+    n_chunks = snap_chunks(n_chunks, n)
+    if n_chunks <= 1:
+        return row_gather(table, ids, form=form)
+    c = n // n_chunks
     parts = [
-        row_gather(table, ids[j * c : min((j + 1) * c, n)], form=form)
+        row_gather(table, ids[j * c : (j + 1) * c], form=form)
         for j in range(n_chunks)
-        if j * c < n
     ]
     return jnp.concatenate(parts, axis=0)
 
@@ -152,13 +169,12 @@ def row_gather_fanout_mean(
 
     if n_chunks <= 1 or n < _CHUNK_MIN_ROWS or n_roots < n_chunks:
         return gather_mean(ids, n_roots)
-    cb = -(-n_roots // n_chunks)  # roots per chunk (ceil)
+    n_chunks = snap_chunks(n_chunks, n_roots)
+    if n_chunks <= 1:
+        return gather_mean(ids, n_roots)
+    cb = n_roots // n_chunks  # roots per chunk (exact by construction)
     parts = [
-        gather_mean(
-            ids[j * cb * fanout : min((j + 1) * cb, n_roots) * fanout],
-            min((j + 1) * cb, n_roots) - j * cb,
-        )
+        gather_mean(ids[j * cb * fanout : (j + 1) * cb * fanout], cb)
         for j in range(n_chunks)
-        if j * cb < n_roots
     ]
     return jnp.concatenate(parts, axis=0)

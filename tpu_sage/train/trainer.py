@@ -81,10 +81,11 @@ class TrainConfig:
     gather_form: Optional[str] = None  # None = "plain" everywhere (round-3
     # winner at gather_chunks=8: 61.46M vs 59.70M masked on the mean
     # headline); "masked" forces the round-2d materialized lowering for A/B
-    gather_chunks: int = 10  # split big gathers into k independent ops so
-    # their descriptor streams overlap; 10 measured best whole-step (round-3
-    # sweep: 62.3M vs 61.8 at 8, 57.4 at 4; use divisors of the deepest
-    # level's root count)
+    gather_chunks: Optional[int] = None  # split big gathers into k
+    # independent ops so their descriptor streams overlap. None = measured
+    # per-workload default: 10 for supervised training (round-3 sweep: 62.3M
+    # vs 61.8 at 8, 57.4 at 4), 8 for the (10×-larger) unsupervised NCE tree
+    # — resolved by the fit loops; explicit values apply everywhere
     fuse_last: str = "auto"  # deepest-level fused gather+summary:
     # "auto" (on, except lstm — measured −7%), "off", "all"
     int8_summean: bool = True  # int8 tables: exact int32 sum + one dequant
@@ -102,6 +103,12 @@ class TrainConfig:
     # round-3 measured winner at every shard count — SCALING_r03.json;
     # resolution + per-mode notes in dist/train.py::resolve_halo_mode)
     halo_capacity_factor: float = 2.0  # bucketed capacity = factor*q/n_shards
+    halo_chunks: int = 1  # split each exact halo exchange into k equal query
+    # chunks (independent collectives + answering gathers — the single-device
+    # descriptor-overlap lever applied inside shard_map). 1 = off: the lever
+    # is implemented and correctness-tested but its on-chip win is UNMEASURED
+    # (the axon tunnel entered its hang state during the round-3 measurement
+    # window) — flip after measuring with scripts/bench_halo.py
 
     @classmethod
     def from_json(cls, path: str) -> "TrainConfig":
@@ -164,7 +171,8 @@ def build_model(config: TrainConfig, n_nodes: int, n_classes: int) -> GSSupervis
         dtype=None if config.compute_dtype == "float32" else config.compute_dtype,
         fuse_first_layer=config.fuse_first_layer,
         gather_form=config.gather_form,
-        gather_chunks=config.gather_chunks,
+        gather_chunks=(10 if config.gather_chunks is None
+                       else config.gather_chunks),
         fuse_last=config.fuse_last,
         int8_summean=config.int8_summean,
     )

@@ -75,6 +75,20 @@ class UnsupConfig:
     # to fit_unsupervised(walks=...) instead
 
 
+def unsup_gather_defaults(config: TrainConfig) -> TrainConfig:
+    """Measured gather defaults for the UNSUPERVISED workload (round-3 A/B,
+    bench_logs/r3_unsup_ab.log): the NCE step's sampled tree is ~10× the
+    supervised one (anchors∪positives∪negatives roots), and at that size
+    the masked lowering at 8 chunks wins decisively — 44.6M sampled-edges/s
+    vs 37.2M plain@8, 34.8M masked@10, 29.7M plain@10 (the supervised
+    defaults). Applied only where the user left the knobs unset."""
+    if config.gather_form is None:
+        config = config.replace(gather_form="masked")
+    if config.gather_chunks is None:
+        config = config.replace(gather_chunks=8)
+    return config
+
+
 class UnsupervisedTrainer:
     """Trains the encoder with the NCE objective; shares TrainConfig."""
 
@@ -258,6 +272,7 @@ def fit_unsupervised(
     if log is None:
         log = lambda d: print(_json.dumps(d), flush=True)
 
+    config = unsup_gather_defaults(config)
     train_ids = problem.folds["train"]
     steps_per_epoch = max(1, len(train_ids) // config.batch_size)
     model = build_model(config, problem.n_nodes, max(problem.n_classes, 2))
