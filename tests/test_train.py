@@ -247,3 +247,61 @@ def test_save_best_checkpoint(tmp_path):
         stored_step = int(data["step"])
     assert stored_step == (first_best_epoch + 1) * spe
     assert read_checkpoint_config(ck)["save_best"] is True
+
+
+def test_save_best_with_periodic_checkpoint(tmp_path):
+    """save_best + checkpoint_every coexist (round-3 weak #4): the tracker
+    owns the path (best-so-far), periodic latest-state writes go to the
+    ``.last`` sibling, and resume loads whichever holds the LATER step — a
+    crash after a long no-improvement stretch resumes from the latest
+    periodic state instead of replaying from the stale best."""
+    import os
+
+    from tpu_sage.train.checkpoint import checkpoint_step
+
+    problem = sbm_problem(n_nodes=500, n_classes=4, feat_dim=32, avg_degree=8,
+                          feat_noise=0.2, seed=43)
+    ck = str(tmp_path / "best.npz")
+    cfg = TrainConfig(batch_size=64, epochs=6, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32),
+                      lr_init=0.01, save_best=True)
+    records = []
+    _, state, hist = fit(problem, cfg, log=records.append, resume_from=ck,
+                         checkpoint_every=1)
+    assert os.path.exists(ck) and os.path.exists(ck + ".last")
+    spe = len(problem.folds["train"]) // cfg.batch_size
+    # .last tracks the run's end; the best file never exceeds it
+    assert checkpoint_step(ck + ".last") == len(hist) * spe
+    assert checkpoint_step(ck) <= checkpoint_step(ck + ".last")
+    # resume picks the LATER file and restarts at the epoch after it
+    recs2 = []
+    fit(problem, cfg.replace(epochs=len(hist) + 2), log=recs2.append,
+        resume_from=ck, checkpoint_every=1)
+    resumed = next(r for r in recs2 if "resumed_from" in r)
+    assert resumed["start_epoch"] == len(hist)
+
+
+def test_exact_val_every_thins_exact_passes(monkeypatch):
+    """exact_val_every=K: the exact full-graph pass runs on every K-th epoch
+    and the final epoch/test; the in-between epochs fall back to sampled
+    validation (round-3 weak #6 — makes --exact-val usable at Reddit scale)."""
+    import tpu_sage.nn.full_graph as fg
+
+    calls = {"n": 0}
+    orig = fg.embed_all_nodes
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fg, "embed_all_nodes", counting)
+    problem = sbm_problem(n_nodes=300, n_classes=3, feat_dim=8, avg_degree=5,
+                          seed=24)
+    cfg = TrainConfig(batch_size=32, epochs=4, n_train_samples=(4, 2),
+                      n_val_samples=(4, 2), output_dims=(16, 16),
+                      exact_val=True, exact_val_every=2)
+    _, _, hist = fit(problem, cfg, log=lambda d: None)
+    # exact at epochs 1 and 3 (0-indexed) + the final test pass = 3 calls;
+    # epochs 0 and 2 validated sampled (val_metric still present every epoch)
+    assert calls["n"] == 3
+    assert all("val_metric" in h for h in hist)

@@ -118,3 +118,80 @@ def test_unsupervised_checkpoint_resume(tmp_path):
     resumed = next(r for r in recs2 if "resumed_from" in r)
     assert resumed["start_epoch"] == 2
     assert [r["epoch"] for r in recs2 if "epoch" in r] == [2, 3]
+
+
+def test_unsupervised_small_fold_clamps_batch():
+    """A train fold smaller than batch_size trains instead of crashing on
+    the epoch scan's reshape (round-3 weak #5) — same clamp as fit."""
+    problem = sbm_problem(n_nodes=60, n_classes=3, feat_dim=8, avg_degree=5,
+                          seed=7)
+    cfg = TrainConfig(batch_size=512, epochs=2, n_train_samples=(4, 3),
+                      n_val_samples=(4, 3), output_dims=(16, 16))
+    recs = []
+    _, _, hist = fit_unsupervised(
+        problem, cfg, UnsupConfig(walk_length=2, n_negatives=3),
+        log=recs.append,
+    )
+    assert len(hist) == 2
+    assert any("clamped" in str(r.get("note", "")) for r in recs)
+
+
+def test_unsupervised_probe_every_thinning():
+    """probe_every=K records the probe on every K-th epoch only (and the
+    final epoch gets one either way — here epoch 3 is both)."""
+    problem = sbm_problem(n_nodes=300, n_classes=3, feat_dim=16, avg_degree=6,
+                          seed=17)
+    cfg = TrainConfig(batch_size=64, epochs=4, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(16, 16))
+    _, _, hist = fit_unsupervised(
+        problem, cfg, UnsupConfig(walk_length=2, n_negatives=3, probe_every=2),
+        log=lambda d: None,
+    )
+    assert ["probe_val_accuracy" in h for h in hist] == [False, True, False, True]
+
+
+def test_unsupervised_patience_and_save_best(tmp_path):
+    """patience/save_best key on the logistic-probe metric (round-3 missing
+    #3: the unsupervised loops get the supervised surface): training stops
+    before the epoch budget once the probe plateaus, and the checkpoint
+    holds the best-probe state."""
+    import os
+
+    problem = sbm_problem(n_nodes=400, n_classes=3, feat_dim=32, avg_degree=8,
+                          p_in=0.95, feat_noise=0.3, seed=13)
+    ck = str(tmp_path / "u.npz")
+    cfg = TrainConfig(batch_size=64, epochs=20, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32),
+                      lr_init=0.005, patience=2, save_best=True)
+    recs = []
+    _, _, hist = fit_unsupervised(
+        problem, cfg, UnsupConfig(walk_length=2, n_negatives=5),
+        log=recs.append, resume_from=ck,
+    )
+    # patience/save_best auto-enable per-epoch probing
+    assert all("probe_val_accuracy" in h for h in hist)
+    assert len(hist) < 20
+    assert any(r.get("early_stop") for r in recs)
+    assert os.path.exists(ck)
+    best_writes = [r for r in recs if "checkpoint_best" in r]
+    assert best_writes
+    assert best_writes[-1]["val_metric"] == max(
+        h["probe_val_accuracy"] for h in hist
+    )
+
+
+def test_unsupervised_patience_inactive_without_probe():
+    """On tasks with no probe metric the tracker deactivates LOUDLY instead
+    of silently never stopping."""
+    problem = sbm_problem(n_nodes=200, n_classes=3, feat_dim=8, avg_degree=5,
+                          task="regression", seed=19)
+    cfg = TrainConfig(batch_size=64, epochs=2, n_train_samples=(4, 2),
+                      n_val_samples=(4, 2), output_dims=(16, 16), patience=2)
+    recs = []
+    _, _, hist = fit_unsupervised(
+        problem, cfg, UnsupConfig(walk_length=2, n_negatives=3),
+        log=recs.append,
+    )
+    assert len(hist) == 2
+    assert any("patience/save_best inactive" in str(r.get("note", ""))
+               for r in recs)

@@ -72,6 +72,10 @@ def parse_args(argv=None):
                     help="validate with EXACT full-graph layer-wise inference "
                          "(variance-free serving-mode metric; mean/gcn/pool "
                          "aggregators, dense adjacency)")
+    ap.add_argument("--exact-val-every", type=int, default=None,
+                    help="run the exact full-graph validation every K epochs "
+                         "(sampled in between; final epoch and test always "
+                         "exact). Implies --exact-val; default 1")
     ap.add_argument("--val-interval", type=int, default=None,
                     help="also validate every N train batches (reference-style)")
     ap.add_argument("--partitioned", action="store_true",
@@ -120,6 +124,11 @@ def parse_args(argv=None):
                          "instead of the supervised head")
     ap.add_argument("--walk-length", type=int, default=3)
     ap.add_argument("--n-negatives", type=int, default=10)
+    ap.add_argument("--probe-every", type=int, default=0,
+                    help="unsupervised: compute the logistic-probe val "
+                         "accuracy every K epochs and record it in the "
+                         "history (0 = final epoch only; --patience/"
+                         "--save-best key on this metric)")
     ap.add_argument("--debug-nans", action="store_true",
                     help="enable jax_debug_nans (SURVEY.md §5.2)")
     ap.add_argument("--log-path", default=None,
@@ -254,8 +263,10 @@ def main(argv=None):
         flag_values["gather_chunks"] = args.gather_chunks
     if args.fuse_last is not None:
         flag_values["fuse_last"] = args.fuse_last
-    if args.exact_val:
+    if args.exact_val or args.exact_val_every is not None:
         flag_values["exact_val"] = True
+    if args.exact_val_every is not None:
+        flag_values["exact_val_every"] = args.exact_val_every
     if args.patience is not None:
         flag_values["patience"] = args.patience
     if args.save_best:
@@ -297,8 +308,10 @@ def main(argv=None):
             overrides["gather_chunks"] = args.gather_chunks
         if args.fuse_last is not None:
             overrides["fuse_last"] = args.fuse_last
-        if args.exact_val:
+        if args.exact_val or args.exact_val_every is not None:
             overrides["exact_val"] = True
+        if args.exact_val_every is not None:
+            overrides["exact_val_every"] = args.exact_val_every
         if args.patience is not None:
             overrides["patience"] = args.patience
         if args.save_best:
@@ -339,7 +352,8 @@ def main(argv=None):
         trainer, state, history = fit_unsupervised_partitioned(
             problem.store, config,
             UnsupConfig(walk_length=args.walk_length,
-                        n_negatives=args.n_negatives),
+                        n_negatives=args.n_negatives,
+                        probe_every=args.probe_every),
             log=log,
             resume_from=args.checkpoint_path,
             checkpoint_every=args.checkpoint_every,
@@ -360,7 +374,9 @@ def main(argv=None):
 
         trainer, state, history = fit_unsupervised(
             problem, config,
-            UnsupConfig(walk_length=args.walk_length, n_negatives=args.n_negatives),
+            UnsupConfig(walk_length=args.walk_length,
+                        n_negatives=args.n_negatives,
+                        probe_every=args.probe_every),
             log=log,
             resume_from=args.checkpoint_path,
             checkpoint_every=args.checkpoint_every,
@@ -376,13 +392,19 @@ def main(argv=None):
             csr=args.csr_adjacency,
         )
 
-    if args.checkpoint_path and not args.save_best:
-        # --save-best already wrote the best-so-far state to this path;
-        # a final write here would overwrite it with the LAST state
+    if args.checkpoint_path:
         from tpu_sage.train.checkpoint import save_checkpoint
 
-        save_checkpoint(args.checkpoint_path, state, config=config)
-        print(json.dumps({"checkpoint": args.checkpoint_path}), flush=True)
+        if not args.save_best:
+            save_checkpoint(args.checkpoint_path, state, config=config)
+            print(json.dumps({"checkpoint": args.checkpoint_path}), flush=True)
+        elif args.checkpoint_every > 0:
+            # --save-best already wrote the best-so-far state to the path
+            # itself; keep the periodic .last sibling current with the FINAL
+            # state so a later resume continues from the end of this run
+            save_checkpoint(args.checkpoint_path + ".last", state, config=config)
+            print(json.dumps({"checkpoint": args.checkpoint_path + ".last"}),
+                  flush=True)
     return 0
 
 

@@ -944,10 +944,14 @@ def fit_partitioned(
                          "multi-process run; falling back to sampled "
                          "validation"})
 
-    def eval_fold(state, fold, seed):
-        if use_exact_val:
+    def eval_fold(state, fold, seed, exact=True):
+        if use_exact_val and exact:
             return trainer.evaluate_exact(state, store, fold=fold)
         return trainer.evaluate(state, store, fold=fold, seed=seed)
+
+    def exact_this_epoch(epoch):
+        k = max(1, getattr(config, "exact_val_every", 1))
+        return (epoch + 1) % k == 0 or epoch == config.epochs - 1
 
     state = trainer.init_state(feat_dim=store.feat_dim)
     state, start_epoch = resume_state(state, resume_from,
@@ -969,17 +973,19 @@ def fit_partitioned(
             # queries got fallback rows) — the count must be in the log
             rec["halo_overflow"] = int(m["halo_overflow"])
         if eval_every_epoch and len(store.folds["val"]):
-            rec["val_metric"] = eval_fold(state, "val", config.seed + 1)
+            rec["val_metric"] = eval_fold(state, "val", config.seed + 1,
+                                          exact=exact_this_epoch(epoch))
         history.append(rec)
         log(rec)
-        if getattr(config, "save_best", False):
-            if tracker.update(rec.get("val_metric"), state):
-                break
-        else:
-            maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
-                             config=config)
-            if tracker.update(rec.get("val_metric"), state):
-                break
+        # same two-file contract as trainer.fit: save_best owns resume_from,
+        # periodic checkpoints go to the .last sibling
+        periodic_path = (resume_from + ".last"
+                         if (getattr(config, "save_best", False) and resume_from)
+                         else resume_from)
+        maybe_checkpoint(state, periodic_path, checkpoint_every, epoch, log,
+                         config=config)
+        if tracker.update(rec.get("val_metric"), state):
+            break
     if eval_every_epoch and len(store.folds.get("test", [])):
         log({"final_test_metric": eval_fold(state, "test", config.seed + 2)})
     return trainer, state, history

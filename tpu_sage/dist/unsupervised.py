@@ -350,8 +350,11 @@ def fit_unsupervised_partitioned(
 ):
     """``fit_unsupervised`` for the node-sharded multi-chip path: per-epoch
     scanned NCE training, JSON loss line per epoch, periodic checkpoints,
-    and (``probe``, classification tasks) a final logistic-probe val
-    accuracy on the partitioned-path embeddings recorded in the history."""
+    and (``probe``, classification tasks) a logistic-probe val accuracy on
+    the partitioned-path embeddings every ``unsup.probe_every`` epochs
+    (0 = final only) recorded in the history. ``config.patience`` /
+    ``config.save_best`` key on the probe metric — same contract as
+    ``fit_unsupervised`` and the supervised loops' val_metric."""
     import json as _json
     import os
     import time
@@ -364,7 +367,9 @@ def fit_unsupervised_partitioned(
 
     mesh, axis = resolve_mesh_axis(config, mesh)
 
-    from tpu_sage.train.checkpoint import maybe_checkpoint, resume_state
+    from tpu_sage.train.checkpoint import (BestTracker, maybe_checkpoint,
+                                           resume_state)
+    from tpu_sage.train.unsupervised import logistic_probe, resolve_probe_every
 
     trainer, graph, fold_ids, fold_w = PartitionedUnsupervisedTrainer.from_store(
         store, config, unsup, mesh, axis=axis
@@ -373,6 +378,20 @@ def fit_unsupervised_partitioned(
     state = trainer.init_state(feat_dim=store.feat_dim)
     state, start_epoch = resume_state(state, resume_from,
                                       trainer.steps_per_epoch, log)
+
+    # (embed_fold fetches sharded embeddings with np.asarray, which cannot
+    # span non-addressable devices — multi-process runs evaluate offline
+    # from the checkpoint instead)
+    can_probe = (probe and store.task == "classification"
+                 and jax.process_count() == 1)
+    tracker = BestTracker(config, resume_from, log)
+    probe_every, tracker = resolve_probe_every(unsup, tracker, can_probe, log)
+
+    def run_probe(st):
+        return logistic_probe(
+            lambda ids: trainer.embed_fold(st, store, ids),
+            store.targets, store.folds,
+        )
 
     history = []
     for epoch in range(start_epoch, config.epochs):
@@ -384,21 +403,22 @@ def fit_unsupervised_partitioned(
                "n_shards": trainer.n_shards}
         if trainer.halo_mode == "bucketed":
             rec["halo_overflow"] = int(m["halo_overflow"])
+        acc = None
+        if can_probe and probe_every > 0 and (epoch + 1) % probe_every == 0:
+            acc = run_probe(state)
+            if acc is not None:
+                rec["probe_val_accuracy"] = acc
         history.append(rec)
         log(rec)
-        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
+        periodic_path = (resume_from + ".last"
+                         if (getattr(config, "save_best", False) and resume_from)
+                         else resume_from)
+        maybe_checkpoint(state, periodic_path, checkpoint_every, epoch, log,
                          config=config)
-    if (probe and store.task == "classification" and history
-            and jax.process_count() == 1):
-        # (embed_fold re-shards the FULL graph with a host-side device_put,
-        # which cannot target non-addressable devices — multi-process runs
-        # evaluate offline from the checkpoint instead)
-        from tpu_sage.train.unsupervised import logistic_probe
-
-        acc = logistic_probe(
-            lambda ids: trainer.embed_fold(state, store, ids),
-            store.targets, store.folds,
-        )
+        if tracker.update(acc, state):
+            break
+    if can_probe and history and "probe_val_accuracy" not in history[-1]:
+        acc = run_probe(state)
         if acc is not None:
             history[-1]["probe_val_accuracy"] = acc
             log({"probe_val_accuracy": acc})

@@ -69,17 +69,30 @@ def read_checkpoint_config(path: str):
         return _json.loads(str(data["__config__"]))
 
 
+def checkpoint_step(path: str) -> int:
+    """The step counter stored in a checkpoint (cheap peek, no tree restore)."""
+    with np.load(path) as data:
+        return int(data["step"])
+
+
 def resume_state(state: TrainState, resume_from, steps_per_epoch: int, log):
-    """Shared resume step for every fit loop: if ``resume_from`` exists, load
-    it and compute the epoch to restart at (the epoch AFTER the checkpointed
-    step). Returns ``(state, start_epoch)``."""
-    if resume_from and os.path.exists(resume_from):
-        state = load_checkpoint(resume_from, state)
-        start_epoch = int(state.step) // steps_per_epoch
-        log({"resumed_from": resume_from, "step": int(state.step),
-             "start_epoch": start_epoch})
-        return state, start_epoch
-    return state, 0
+    """Shared resume step for every fit loop: if ``resume_from`` (or its
+    ``.last`` sibling — the periodic file of a ``save_best`` run, see
+    ``fit``) exists, load whichever holds the LATER step and compute the
+    epoch to restart at (the epoch AFTER the checkpointed step). Returns
+    ``(state, start_epoch)``."""
+    if not resume_from:
+        return state, 0
+    candidates = [p for p in (resume_from, resume_from + ".last")
+                  if os.path.exists(p)]
+    if not candidates:
+        return state, 0
+    path = max(candidates, key=checkpoint_step)
+    state = load_checkpoint(path, state)
+    start_epoch = int(state.step) // steps_per_epoch
+    log({"resumed_from": path, "step": int(state.step),
+         "start_epoch": start_epoch})
+    return state, start_epoch
 
 
 def maybe_checkpoint(state: TrainState, resume_from, checkpoint_every: int,

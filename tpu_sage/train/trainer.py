@@ -98,6 +98,12 @@ class TrainConfig:
     # inference (nn/full_graph) instead of sampled eval — variance-free, the
     # serving-mode metric; supported for mean/gcn/max_pool/mean_pool (the
     # permutation-invariant aggregators), dense adjacency only
+    exact_val_every: int = 1  # with exact_val: run the exact full-graph pass
+    # every K epochs (sampled validation in between, plus the final epoch
+    # and the final test metric always exact). Exact validation costs a
+    # whole-graph layer-wise inference per call — at Reddit scale (233k
+    # nodes, fanout-free) that dwarfs a 2.3 ms/step training epoch, so K>1
+    # makes the flag usable on big runs
     halo: str = "auto"  # partitioned-path gather: "auto" | "exact" | "ring" |
     # "pipelined" | "bucketed" | "hier2d". "auto" resolves to exact (the
     # round-3 measured winner at every shard count — SCALING_r03.json;
@@ -486,8 +492,8 @@ def fit(
             log({"note": "exact_val unsupported for this aggregator/storage; "
                          "falling back to sampled validation"})
 
-    def eval_fold_ids(ids):
-        if use_exact_val:
+    def eval_fold_ids(ids, exact: bool = True):
+        if use_exact_val and exact:
             from tpu_sage.nn.full_graph import embed_all_nodes
 
             logits = np.asarray(
@@ -500,9 +506,15 @@ def fit(
             state.params, graph_full, ids, problem.store.targets[ids], eval_key
         )
 
-    def validate(rec):
+    def exact_this_epoch(epoch: int) -> bool:
+        """exact_val_every thinning: exact on every K-th epoch and the final
+        one; sampled validation in between (same metric, higher variance)."""
+        k = max(1, config.exact_val_every)
+        return (epoch + 1) % k == 0 or epoch == config.epochs - 1
+
+    def validate(rec, exact: bool = True):
         if len(val_ids):
-            rec["val_metric"] = eval_fold_ids(val_ids)
+            rec["val_metric"] = eval_fold_ids(val_ids, exact=exact)
         return rec
 
     history = []
@@ -532,7 +544,8 @@ def fit(
                 losses.append(float(m["loss"]))
                 last_lr = m["lr"]
                 log(validate({"epoch": epoch, "batch_offset": start // config.batch_size,
-                              "train_loss": losses[-1]}))
+                              "train_loss": losses[-1]},
+                             exact=exact_this_epoch(epoch)))
             train_metrics = {"loss": np.mean(losses) if losses else float("nan"),
                              "lr": last_lr}
         else:
@@ -548,18 +561,20 @@ def fit(
             "elapsed": round(elapsed, 4),
         }
         if eval_every_epoch:
-            rec = validate(rec)
+            rec = validate(rec, exact=exact_this_epoch(epoch))
         history.append(rec)
         log(rec)
-        if config.save_best:
-            # best-checkpoint mode replaces the periodic write (same file)
-            if tracker.update(rec.get("val_metric"), state):
-                break
-        else:
-            maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
-                             config=config)
-            if tracker.update(rec.get("val_metric"), state):
-                break
+        # save_best owns `resume_from` (best-so-far, written by the tracker);
+        # periodic checkpoints then go to `resume_from + ".last"` so both
+        # coexist — a crash after a long no-improvement stretch resumes from
+        # the latest periodic state, not the stale best (resume_state loads
+        # whichever file holds the later step)
+        periodic_path = (resume_from + ".last"
+                         if (config.save_best and resume_from) else resume_from)
+        maybe_checkpoint(state, periodic_path, checkpoint_every, epoch, log,
+                         config=config)
+        if tracker.update(rec.get("val_metric"), state):
+            break
 
     test_ids = problem.folds.get("test", np.array([], dtype=np.int64))
     if eval_every_epoch and len(test_ids):

@@ -70,6 +70,12 @@ class UnsupConfig:
     walk_length: int = 3     # hops between anchor and positive
     n_negatives: int = 10    # Q
     neg_power: float = 0.0   # 0 = uniform; 0.75 = word2vec-style degree smoothing
+    probe_every: int = 0     # compute the logistic-probe val accuracy every K
+    # epochs and record it in the fit history (0 = final epoch only). The
+    # probe is the unsupervised path's val metric: config.patience /
+    # config.save_best key on it, exactly like the supervised loops key on
+    # val_metric — when either is set and probe_every is 0, the fit loops
+    # resolve it to 1 (they need a per-epoch metric)
     # positives come from on-device walks by default; a precomputed corpus
     # (problem.h5 "walks" dataset, reference walks.txt analog) can be supplied
     # to fit_unsupervised(walks=...) instead
@@ -260,10 +266,12 @@ def fit_unsupervised(
 
     ``resume_from``/``checkpoint_every``: same periodic-checkpoint +
     exact-epoch-resume contract as ``fit`` (SURVEY.md §5.4). With ``probe``
-    (default) a final logistic-probe val accuracy is computed on the frozen
-    embeddings (classification tasks), logged AND recorded in the last
-    history record — quality lives in the training history, not only in the
-    CLI layer."""
+    (default) a logistic-probe val accuracy on the frozen embeddings
+    (classification tasks) is computed every ``unsup.probe_every`` epochs
+    (0 = final epoch only), logged AND recorded in the history — quality
+    lives in the training history, not only in the CLI layer.
+    ``config.patience`` / ``config.save_best`` key on the probe metric,
+    mirroring the supervised loops' val_metric contract."""
     import json as _json
     import time
 
@@ -274,6 +282,11 @@ def fit_unsupervised(
 
     config = unsup_gather_defaults(config)
     train_ids = problem.folds["train"]
+    if len(train_ids) < config.batch_size:
+        # static shapes need a full batch (same clamp as fit: without it the
+        # epoch scan's perm[:n_batches*b].reshape would fail on small folds)
+        config = config.replace(batch_size=max(1, len(train_ids)))
+        log({"note": f"batch_size clamped to train fold size {config.batch_size}"})
     steps_per_epoch = max(1, len(train_ids) // config.batch_size)
     model = build_model(config, problem.n_nodes, max(problem.n_classes, 2))
     trainer = UnsupervisedTrainer(model, config, unsup, steps_per_epoch)
@@ -291,29 +304,70 @@ def fit_unsupervised(
         )
     walks_d = None if walks is None else jnp.asarray(walks, jnp.int32)
 
-    from tpu_sage.train.checkpoint import maybe_checkpoint, resume_state
+    from tpu_sage.train.checkpoint import (BestTracker, maybe_checkpoint,
+                                           resume_state)
 
     state, start_epoch = resume_state(state, resume_from, steps_per_epoch, log)
     node_ids = jnp.asarray(train_ids, jnp.int32)
+    tracker = BestTracker(config, resume_from, log)
+    can_probe = probe and problem.task == "classification"
+    probe_every, tracker = resolve_probe_every(unsup, tracker, can_probe, log)
+
+    graph_full = None  # FULL adjacency for probe embeddings (inductive protocol)
+
+    def run_probe(st):
+        nonlocal graph_full
+        if graph_full is None:
+            graph_full = problem.device_graph(train=False,
+                                              quantize=config.feature_int8)
+        return logistic_probe(
+            lambda ids: trainer.embed_all(st.params, graph_full, ids),
+            problem.store.targets, problem.folds,
+        )
+
     history = []
     for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         state, m = trainer.train_epoch(state, graph, node_ids, walks_d)
         rec = {"epoch": epoch, "unsup_loss": float(m["loss"]),
                "elapsed": round(time.time() - t0, 4)}
+        acc = None
+        if can_probe and probe_every > 0 and (epoch + 1) % probe_every == 0:
+            acc = run_probe(state)
+            if acc is not None:
+                rec["probe_val_accuracy"] = acc
         history.append(rec)
         log(rec)
-        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
+        periodic_path = (resume_from + ".last"
+                         if (config.save_best and resume_from) else resume_from)
+        maybe_checkpoint(state, periodic_path, checkpoint_every, epoch, log,
                          config=config)
-    if probe and problem.task == "classification" and history:
-        # FULL adjacency for probe embeddings (inductive eval protocol)
-        graph_full = problem.device_graph(train=False,
-                                          quantize=config.feature_int8)
-        acc = logistic_probe(
-            lambda ids: trainer.embed_all(state.params, graph_full, ids),
-            problem.store.targets, problem.folds,
-        )
+        if tracker.update(acc, state):
+            break
+    if can_probe and history and "probe_val_accuracy" not in history[-1]:
+        acc = run_probe(state)
         if acc is not None:
             history[-1]["probe_val_accuracy"] = acc
             log({"probe_val_accuracy": acc})
     return trainer, state, history
+
+
+def resolve_probe_every(unsup: UnsupConfig, tracker, can_probe: bool, log) -> tuple:
+    """patience/save_best need a per-epoch metric: with either set and
+    ``probe_every`` unset, probe every epoch; when no probe is possible at
+    all (non-classification task or probe=False), deactivate the tracker
+    loudly instead of silently never stopping/saving. Shared by the
+    single-device and partitioned unsupervised fit loops. Returns
+    ``(probe_every, tracker)``."""
+    probe_every = unsup.probe_every
+    if tracker.active:
+        if not can_probe:
+            log({"note": "patience/save_best inactive: the unsupervised loop "
+                         "has no per-epoch metric for this task (the probe "
+                         "needs a classification problem and probe=True)"})
+            tracker.patience, tracker.save_best = 0, False
+        elif probe_every <= 0:
+            probe_every = 1
+            log({"note": "patience/save_best key on the logistic probe; "
+                         "probing every epoch (set unsup.probe_every to thin)"})
+    return probe_every, tracker
