@@ -33,6 +33,42 @@ def pad_to_shards(n_nodes: int, n_shards: int) -> Tuple[int, int]:
     return m, m * n_shards
 
 
+def put_sharded(x, mesh: Mesh, spec: P):
+    """Place a host array with the given PartitionSpec — multi-host-safe.
+
+    Single-process: a plain ``device_put``. Multi-process: ``device_put``
+    cannot target non-addressable devices, so each process contributes its
+    addressable shards via ``make_array_from_callback`` (every process holds
+    the full host array — the replicated-ETL pattern this framework uses:
+    each process loads the same problem file / synthesizes the same store).
+    This is the single placement seam that makes ``shard_graph``, the fold
+    tables, and the eval inputs work unchanged on cross-process meshes
+    (SURVEY.md §5.8; previously only the tests' hand-rolled
+    ``make_array_from_process_local_data`` pattern could).
+    """
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def fetch_replicated(x) -> np.ndarray:
+    """Host copy of a (possibly sharded, possibly cross-process) device
+    array: replicate through a jit identity, then ``np.asarray`` — which is
+    legal on fully-replicated arrays even when the mesh spans processes
+    (every process holds addressable replicas). The inverse seam of
+    :func:`put_sharded` for outputs (exact-eval logits, fold embeddings,
+    export tables)."""
+    if isinstance(x, np.ndarray):
+        return x
+    if getattr(x, "is_fully_replicated", True):
+        return np.asarray(x)
+    mesh = x.sharding.mesh
+    rep = NamedSharding(mesh, P())
+    return np.asarray(jax.jit(lambda a: a, out_shardings=rep)(x))
+
+
 def degree_balanced_permutation(degrees: np.ndarray, n_shards: int) -> np.ndarray:
     """Node permutation that balances EDGES (not just nodes) across shards.
 
@@ -218,23 +254,20 @@ def shard_graph(
     from tpu_sage.dist.mesh import axis_size
     n_shards = axis_size(mesh, axis)
     arrays, m = partition_arrays(store, n_shards, train)
-    sharding = NamedSharding(mesh, P(axis))
-    put = lambda x: jax.device_put(jnp.asarray(x), sharding)
-    rep = NamedSharding(mesh, P())
+    # put_sharded keeps this path working on cross-process meshes (each
+    # process contributes its addressable shards from the replicated store)
+    put = lambda x: put_sharded(np.asarray(x), mesh, P(axis))
+    putr = lambda x: put_sharded(np.asarray(x), mesh, P())
     if quantize:
         from tpu_sage.data.quantize import quantize_np
 
         q, scale = quantize_np(arrays["feats"])
         feats_dev = put(q)
-        feat_scale = jax.device_put(
-            jnp.asarray(scale, dtype=feat_dtype or jnp.float32), rep
-        )
+        feat_scale = putr(scale.astype(feat_dtype or np.float32))
     else:
-        feats_dev = put(
-            jnp.asarray(arrays["feats"], dtype=feat_dtype or jnp.float32)
-        )
-        feat_scale = jax.device_put(
-            jnp.ones((feats_dev.shape[1],), feats_dev.dtype), rep
+        feats_dev = put(arrays["feats"].astype(feat_dtype or np.float32))
+        feat_scale = putr(
+            np.ones((feats_dev.shape[1],), feats_dev.dtype)
         )
     graph = DeviceGraph(
         adj=put(arrays["adj"]),

@@ -482,9 +482,10 @@ class PartitionedTrainer:
         n_shards = axis_size(mesh, axis)
         fold_ids, fold_w = shard_fold(store.folds["train"], n_shards, m)
         steps_per_epoch = max(1, len(store.folds["train"]) // config.batch_size)
-        sh = NamedSharding(mesh, P(axis))
-        fold_ids_d = jax.device_put(jnp.asarray(fold_ids, jnp.int32), sh)
-        fold_w_d = jax.device_put(jnp.asarray(fold_w), sh)
+        from tpu_sage.dist.partition import put_sharded
+
+        fold_ids_d = put_sharded(fold_ids.astype(np.int32), mesh, P(axis))
+        fold_w_d = put_sharded(fold_w, mesh, P(axis))
         return graph, m, steps_per_epoch, fold_ids_d, fold_w_d
 
     @classmethod
@@ -829,22 +830,16 @@ class PartitionedTrainer:
         (nn/full_graph.embed_all_nodes_partitioned) — the serving-mode
         number, no sampling in the eval path at all. Supported for the
         permutation-invariant aggregators."""
+        from tpu_sage.dist.partition import fetch_replicated
         from tpu_sage.nn.full_graph import embed_all_nodes_partitioned
         from tpu_sage.train.trainer import fold_metric_np
 
-        if jax.process_count() > 1:
-            raise RuntimeError(
-                "evaluate_exact is single-process: the eval-graph shard is a "
-                "host-side device_put and the logits are fetched with "
-                "np.asarray, neither of which can span non-addressable "
-                "devices. Multi-host runs: export from the checkpoint "
-                "(export.py --partitioned) or build the sharded graph with "
-                "make_array_from_process_local_data and call "
-                "embed_all_nodes_partitioned directly "
-                "(tests/test_multihost_hier2d.py shows the pattern)."
-            )
+        # multi-host-safe end to end: the eval-graph shard goes up through
+        # put_sharded (each process contributes its shards) and the sharded
+        # logits come back through fetch_replicated (jit-replicate, then a
+        # host copy every process can take) — no hand-assembly required
         graph_full, _ = self._full_graph_shard(store)
-        logits = np.asarray(
+        logits = fetch_replicated(
             embed_all_nodes_partitioned(
                 self.model, state.params, graph_full, self.mesh,
                 axis=self.axis, with_head=True,
@@ -868,9 +863,10 @@ class PartitionedTrainer:
         n_chunks = ids.shape[1] // self.batch_per_shard
         ids3 = ids.reshape(self.n_shards, n_chunks, self.batch_per_shard)
         mask3 = mask.reshape(self.n_shards, n_chunks, self.batch_per_shard)
-        sh = NamedSharding(self.mesh, P(self.axis))
-        ids_d = jax.device_put(jnp.asarray(ids3, jnp.int32), sh)
-        mask_d = jax.device_put(jnp.asarray(mask3), sh)
+        from tpu_sage.dist.partition import put_sharded
+
+        ids_d = put_sharded(ids3.astype(np.int32), self.mesh, P(self.axis))
+        mask_d = put_sharded(mask3, self.mesh, P(self.axis))
 
         if self._eval_fn is None:
             self._eval_fn = self._make_eval(store.task)
@@ -933,16 +929,12 @@ def fit_partitioned(
     if getattr(config, "exact_val", False):
         from tpu_sage.nn.full_graph import exact_supported
 
-        # single-process only: the eval-graph re-shard is a host-side
-        # device_put (cannot target non-addressable devices) and the logits
-        # come back through np.asarray — multi-host runs evaluate offline
-        # from the checkpoint instead (export.py --partitioned)
-        use_exact_val = (exact_supported(trainer.model)
-                         and jax.process_count() == 1)
+        # works cross-process too: evaluate_exact shards the eval graph via
+        # put_sharded and fetches logits via fetch_replicated
+        use_exact_val = exact_supported(trainer.model)
         if not use_exact_val:
-            log({"note": "exact_val unsupported for this aggregator or "
-                         "multi-process run; falling back to sampled "
-                         "validation"})
+            log({"note": "exact_val unsupported for this aggregator; "
+                         "falling back to sampled validation"})
 
     def eval_fold(state, fold, seed, exact=True):
         if use_exact_val and exact:

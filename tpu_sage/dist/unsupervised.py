@@ -317,12 +317,13 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         )
         n_chunks = tbl.shape[1] // self.batch_per_shard
         tbl3 = tbl.reshape(self.n_shards, n_chunks, self.batch_per_shard)
-        sh = NamedSharding(self.mesh, P(self.axis))
-        tbl_d = jax.device_put(jnp.asarray(tbl3, jnp.int32), sh)
+        from tpu_sage.dist.partition import fetch_replicated, put_sharded
+
+        tbl_d = put_sharded(tbl3.astype(np.int32), self.mesh, P(self.axis))
 
         if self._embed_fn is None:
             self._embed_fn = self._make_embed()
-        z = np.asarray(
+        z = fetch_replicated(
             self._embed_fn(state.params, jax.random.key(seed),
                            graph_full.adj, graph_full.degrees,
                            graph_full.feats, graph_full.feat_scale, tbl_d)
@@ -379,11 +380,10 @@ def fit_unsupervised_partitioned(
     state, start_epoch = resume_state(state, resume_from,
                                       trainer.steps_per_epoch, log)
 
-    # (embed_fold fetches sharded embeddings with np.asarray, which cannot
-    # span non-addressable devices — multi-process runs evaluate offline
-    # from the checkpoint instead)
-    can_probe = (probe and store.task == "classification"
-                 and jax.process_count() == 1)
+    # embed_fold is multi-host-safe (put_sharded inputs, fetch_replicated
+    # embeddings); every process fits the same deterministic probe on the
+    # identical replicated embeddings, so the metric agrees across processes
+    can_probe = probe and store.task == "classification"
     tracker = BestTracker(config, resume_from, log)
     probe_every, tracker = resolve_probe_every(unsup, tracker, can_probe, log)
 

@@ -33,6 +33,12 @@ def main(argv=None):
                          "run SHARDED exact inference (halo-gathered "
                          "activations) — for graphs too big for one chip")
     ap.add_argument("--chunk", type=int, default=4096)
+    # multi-host bring-up (SURVEY.md §5.8): pass all three on every process;
+    # each contributes its local shards and process 0 writes the output
+    ap.add_argument("--coordinator", default=None,
+                    help="jax.distributed coordinator address host:port")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     # model flags (must match training) when no --config given
     ap.add_argument("--aggregator-class", default="mean")
     ap.add_argument("--prep-class", default="identity")
@@ -40,8 +46,15 @@ def main(argv=None):
     ap.add_argument("--n-val-samples", default="25,10")
     ap.add_argument("--output-dims", default="128,128")
     ap.add_argument("--synthetic-nodes", type=int, default=2708)
+    ap.add_argument("--synthetic-classes", type=int, default=7)
+    ap.add_argument("--synthetic-feat-dim", type=int, default=64)
     ap.add_argument("--seed", type=int, default=123)
     args = ap.parse_args(argv)
+
+    from tpu_sage.dist.mesh import init_multihost
+
+    # must run before the first jax backend touch on multi-process runs
+    init_multihost(args.coordinator, args.num_processes, args.process_id)
 
     from tpu_sage.data.problem import NodeProblem
     from tpu_sage.nn.full_graph import embed_all_nodes
@@ -64,7 +77,10 @@ def main(argv=None):
     if args.synthetic:
         from tpu_sage.data.synthetic import sbm_problem
 
-        problem = sbm_problem(n_nodes=args.synthetic_nodes, seed=args.seed)
+        problem = sbm_problem(n_nodes=args.synthetic_nodes,
+                              n_classes=args.synthetic_classes,
+                              feat_dim=args.synthetic_feat_dim,
+                              seed=args.seed)
     else:
         problem = NodeProblem.from_h5(args.problem_path)
 
@@ -95,13 +111,29 @@ def main(argv=None):
                               key=jax.random.key(0))
         state = load_checkpoint(args.checkpoint, template)
 
+        from tpu_sage.dist.partition import fetch_replicated
+
+        # shard_graph / fetch_replicated are multi-host-safe: on a
+        # cross-process mesh each process contributes its addressable shards
+        # and fetches the replicated result; process 0 alone writes the file
         mesh = make_mesh()
+        params = state.params
+        if jax.process_count() > 1:
+            # checkpoint-loaded params live on local device 0; a global-mesh
+            # jit needs them placed replicated over the cross-process mesh
+            from jax.sharding import PartitionSpec as P
+
+            from tpu_sage.dist.partition import put_sharded
+
+            params = jax.tree.map(
+                lambda a: put_sharded(np.asarray(a), mesh, P()), params
+            )
         sharded, _ = shard_graph(problem.store, mesh, train=False)
         out = embed_all_nodes_partitioned(
-            model, state.params, sharded, mesh,
+            model, params, sharded, mesh,
             chunk=args.chunk, with_head=args.logits,
         )
-        arr = np.asarray(out)[: problem.n_nodes]
+        arr = fetch_replicated(out)[: problem.n_nodes]
     else:
         trainer = Trainer(model, config, steps_per_epoch=1, task=problem.task)
         graph = problem.device_graph(train=False)
@@ -110,11 +142,14 @@ def main(argv=None):
         out = embed_all_nodes(model, state.params, graph, chunk=args.chunk,
                               with_head=args.logits)
         arr = np.asarray(out)
-    np.save(args.out, arr)
+    import jax
+
+    if jax.process_index() == 0:
+        np.save(args.out, arr)
     print(json.dumps({
         "out": args.out, "shape": list(arr.shape),
         "kind": "logits" if args.logits else "embeddings",
-        "from_step": int(state.step),
+        "from_step": int(state.step), "process": jax.process_index(),
     }))
     return 0
 
