@@ -98,3 +98,67 @@ def test_fit_with_csr_adjacency():
     _, _, hist = fit(problem, cfg, log=lambda d: None, csr=True)
     assert hist[-1]["train_loss"] < hist[0]["train_loss"]
     assert hist[-1]["val_metric"] > 0.8
+
+
+def test_csr_window_hop_bitwise_matches_element_hop():
+    """The round-4 window-gather hop (one descriptor per frontier node —
+    uniform_neighbor_sample_csr_window) returns BIT-IDENTICAL samples to the
+    element formulation for the same key: same uniforms, same clamped
+    columns, same indices[start + col] reads."""
+    from tpu_sage.sample.csr import uniform_neighbor_sample_csr_window
+
+    store = sbm_store(n_nodes=400, n_classes=3, feat_dim=8, avg_degree=7,
+                      seed=31)
+    indptr, indices = csr_from_padded(store.adj, store.degrees)
+    window = max(1, int(store.degrees.max()))
+    indices_pad = jnp.asarray(
+        np.concatenate([indices, np.zeros(window, np.int32)]))
+    indptr_d = jnp.asarray(indptr)
+    deg_d = jnp.asarray(store.degrees, jnp.int32)
+    ids = jnp.asarray(np.arange(0, 400, 3), jnp.int32)
+    for k in range(3):
+        key = jax.random.key(k)
+        a = uniform_neighbor_sample_csr(key, indptr_d, indices_pad, deg_d,
+                                        ids, 6)
+        b = uniform_neighbor_sample_csr_window(key, indptr_d, indices_pad,
+                                               deg_d, ids, 6, window)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_csr_window_covers_isolated_and_tail_nodes():
+    """degree-0 self-loop and the LAST node's row (slice at the very end of
+    indices — covered by the window padding, never clamped)."""
+    from tpu_sage.sample.csr import uniform_neighbor_sample_csr_window
+
+    edges = np.array([[0, 1], [1, 2], [3, 0]])
+    adj, deg = build_padded_adjacency(edges, 5, max_degree=4)
+    indptr, indices = csr_from_padded(adj, deg)
+    window = max(1, int(deg.max()))
+    indices_pad = jnp.asarray(
+        np.concatenate([indices, np.zeros(window, np.int32)]))
+    out = np.asarray(uniform_neighbor_sample_csr_window(
+        jax.random.key(0), jnp.asarray(indptr), indices_pad,
+        jnp.asarray(deg, jnp.int32), jnp.asarray([3, 4], jnp.int32), 5,
+        window,
+    ))
+    assert (out[0] == 0).all()   # node 3's only neighbor
+    assert (out[1] == 4).all()   # isolated node self-loops
+
+
+def test_fit_with_csr_window_default():
+    """to_device_csr now ships the window hop by default (window = true max
+    degree, indices padded); the product path trains and validates."""
+    from tpu_sage.data.problem import NodeProblem
+    from tpu_sage.train.trainer import TrainConfig, fit
+
+    store = sbm_store(n_nodes=400, n_classes=3, feat_dim=16, avg_degree=6,
+                      seed=33)
+    problem = NodeProblem(store)
+    graph = problem.device_graph(train=True, csr=True)
+    assert graph.window == int(store.train_degrees.max())
+    assert graph.indices.shape[0] == int(store.train_degrees.sum()) + graph.window
+    cfg = TrainConfig(batch_size=64, epochs=3, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(16, 16), lr_init=0.01)
+    _, _, hist = fit(problem, cfg, log=lambda d: None, csr=True)
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+    assert hist[-1]["val_metric"] > 0.8

@@ -72,10 +72,16 @@ class CSRDeviceGraph:
     """
 
     indptr: jnp.ndarray    # (n_nodes+1,) int32
-    indices: jnp.ndarray   # (nnz,) int32
+    indices: jnp.ndarray   # (nnz [+ window pad],) int32
     degrees: jnp.ndarray   # (n_nodes,) int32
     feats: jnp.ndarray     # (n_nodes, feat_dim) float
     targets: jnp.ndarray   # (n_nodes,) int32 or (n_nodes, n_targets) float
+    window: int = struct.field(pytree_node=False, default=0)
+    # static window width for the round-4 window-gather hop (one descriptor
+    # per frontier node instead of per sampled element — sample/csr.py);
+    # must be ≥ the graph's true max degree and ``indices`` must carry
+    # ``window`` padding entries at the tail (to_device_csr does both).
+    # 0 = the element-gather formulation (kept for A/B)
 
     @property
     def n_nodes(self) -> int:
@@ -208,6 +214,11 @@ class GraphStore:
         adj = self.train_adj if train else self.adj
         deg = self.train_degrees if train else self.degrees
         indptr, indices = csr_from_padded(adj, deg)
+        # window-gather hop (sample/csr.py): one descriptor per frontier node
+        # needs a window ≥ the true max degree and that many tail padding
+        # entries so the contiguous slice never clamps
+        window = max(1, int(deg.max())) if len(deg) else 1
+        indices = np.concatenate([indices, np.zeros(window, np.int32)])
         if self.task == "classification":
             targets = jnp.asarray(self.targets, dtype=jnp.int32)
         else:
@@ -218,4 +229,5 @@ class GraphStore:
             degrees=jnp.asarray(deg, dtype=jnp.int32),
             feats=self._device_feats(dtype, quantize),
             targets=targets,
+            window=window,
         )

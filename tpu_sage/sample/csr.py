@@ -74,6 +74,51 @@ def uniform_neighbor_sample_csr(
     return jnp.where(deg[:, None] == 0, ids[:, None], nbr)
 
 
+def uniform_neighbor_sample_csr_window(
+    key: jax.Array,
+    indptr: jnp.ndarray,    # (n+1,) int32
+    indices: jnp.ndarray,   # (nnz + window,) int32 — window tail padding
+    degrees: jnp.ndarray,   # (n,) int32
+    ids: jnp.ndarray,       # (B,) int32
+    n_samples: int,
+    window: int,            # static, ≥ the graph's true max degree
+) -> jnp.ndarray:
+    """Window-gather CSR hop: one descriptor per frontier NODE.
+
+    The element formulation above pays the TPU gather's per-descriptor cost
+    (~7 ns/row, RESULTS.md round-3 roofline) for every SAMPLED ELEMENT —
+    B·fanout descriptors per hop. But a node's CSR row is contiguous in
+    ``indices``, so gathering the ``window``-wide span starting at
+    ``indptr[id]`` covers the entire row in ONE descriptor (window ≥ true
+    max degree by construction; ``indices`` carries ``window`` padding
+    entries so the slice never clamps), and the sampled columns are selected
+    exactly like the dense sampler's one-hot column select. fanout× fewer
+    descriptors at each hop for window·4 B rows — the same bytes/descriptor
+    shape as the dense adjacency row gather, at nnz storage.
+
+    Bit-identical to :func:`uniform_neighbor_sample_csr` for the same key:
+    both draw the same uniforms, clamp to the same columns, and read the
+    same ``indices[start + col]`` values.
+    """
+    from tpu_sage.ops import row_gather_chunked
+    from tpu_sage.sample.sampler import select_columns
+
+    ids = ids.astype(jnp.int32)
+    deg = row_gather_chunked(degrees, ids)
+    start = row_gather_chunked(indptr, ids)
+    rows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(indices, (s,), (window,))
+    )(start)                                            # (B, window)
+    safe_deg = jnp.maximum(deg, 1)
+    u = jax.random.uniform(key, (ids.shape[0], n_samples))
+    cols = jnp.minimum(
+        (u * safe_deg[:, None].astype(u.dtype)).astype(jnp.int32),
+        safe_deg[:, None] - 1,
+    )
+    nbr = select_columns(rows, cols)
+    return jnp.where(deg[:, None] == 0, ids[:, None], nbr)
+
+
 def sample_tree_csr(
     key: jax.Array,
     indptr: jnp.ndarray,
@@ -81,14 +126,22 @@ def sample_tree_csr(
     degrees: jnp.ndarray,
     ids: jnp.ndarray,
     fanouts: Sequence[int],
+    window: int = 0,
 ) -> List[jnp.ndarray]:
-    """``sample_tree`` against CSR storage; same level-shape contract."""
+    """``sample_tree`` against CSR storage; same level-shape contract.
+    ``window`` > 0 selects the window-gather hop (the measured default —
+    CSRDeviceGraph.window); 0 the element-gather formulation."""
     levels = [ids.astype(jnp.int32)]
     for fanout in fanouts:
         key, sub = jax.random.split(key)
-        nbr = uniform_neighbor_sample_csr(
-            sub, indptr, indices, degrees, levels[-1], fanout
-        )
+        if window > 0:
+            nbr = uniform_neighbor_sample_csr_window(
+                sub, indptr, indices, degrees, levels[-1], fanout, window
+            )
+        else:
+            nbr = uniform_neighbor_sample_csr(
+                sub, indptr, indices, degrees, levels[-1], fanout
+            )
         levels.append(nbr.reshape(-1))
     return levels
 
@@ -102,7 +155,8 @@ def graph_sample_tree(key, graph, ids, fanouts):
 
     if hasattr(graph, "indptr"):
         return sample_tree_csr(key, graph.indptr, graph.indices,
-                               graph.degrees, ids, fanouts)
+                               graph.degrees, ids, fanouts,
+                               window=getattr(graph, "window", 0))
     return sample_tree(key, graph.adj, graph.degrees, ids, fanouts)
 
 
