@@ -126,6 +126,50 @@ def main():
     print(json.dumps({"op": "mean_project", "impl": "pallas",
                       "shape": [B2, F, Din, O], "ms": round(med, 4),
                       "all": all_t}), flush=True)
+
+    # --- combined gather+fanout-mean, deepest-level Reddit shape ----------
+    # (round-4, VERDICT r3 #8: the one formulation never directly measured —
+    # one HBM pass vs the XLA chunked gather + per-chunk mean)
+    from tpu_sage.kernels.gather_mean import gather_fanout_mean
+    from tpu_sage.ops import row_gather_fanout_mean
+
+    N, F2 = 232965, 10
+    table = jnp.asarray(rng.normal(size=(N, Din)), jnp.bfloat16)
+    gids_np = rng.integers(0, N, (B2 * F2,)).astype(np.int32)
+    gids = jnp.asarray(gids_np)
+
+    def xla_gm(table, gids, c):
+        out = row_gather_fanout_mean(
+            table, (gids + c.astype(jnp.int32)) % N, F2
+        )
+        return out.sum().astype(jnp.float32)
+
+    def pl_gm(table, gids, c):
+        out = gather_fanout_mean(
+            table, (gids + c.astype(jnp.int32)) % N, F2, tile_r=32
+        )
+        return out.sum().astype(jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(row_gather_fanout_mean(table, gids, F2), np.float32),
+        np.asarray(gather_fanout_mean(table, gids, F2, tile_r=32), np.float32),
+        rtol=0.05, atol=0.05,
+    )
+    med, all_t = timed_scan(xla_gm, (table, gids), iters=30)
+    print(json.dumps({"op": "gather_fanout_mean", "impl": "xla",
+                      "shape": [B2, F2, Din], "ms": round(med, 4),
+                      "all": all_t}), flush=True)
+    for tile_r in (16, 32, 128):
+        def pl_gm_t(table, gids, c, tile_r=tile_r):
+            out = gather_fanout_mean(
+                table, (gids + c.astype(jnp.int32)) % N, F2, tile_r=tile_r
+            )
+            return out.sum().astype(jnp.float32)
+
+        med, all_t = timed_scan(pl_gm_t, (table, gids), iters=30)
+        print(json.dumps({"op": "gather_fanout_mean", "impl": "pallas",
+                          "tile_r": tile_r, "ms": round(med, 4),
+                          "all": all_t}), flush=True)
     return 0
 
 

@@ -69,3 +69,31 @@ def test_probe_on_cpu_interpret():
     from tpu_sage import kernels
 
     assert kernels.probe() in (True, False)
+
+
+def test_gather_fanout_mean_matches_xla():
+    """Combined single-pass gather+fanout-mean (round-4, VERDICT #8): f32
+    means of gathered rows match take-then-mean for f32 AND bf16 tables
+    (bf16 goes through the int32 bit view), including ragged root tiles."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_sage.kernels.gather_mean import gather_fanout_mean
+
+    rng = np.random.default_rng(5)
+    table_f32 = jnp.asarray(rng.normal(size=(300, 8)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 300, size=50 * 4), jnp.int32)
+    want = jnp.mean(table_f32[ids].reshape(50, 4, 8), axis=1)
+    out = gather_fanout_mean(table_f32, ids, fanout=4, tile_r=16,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-6)
+
+    table_bf16 = table_f32.astype(jnp.bfloat16)
+    want_bf = jnp.mean(
+        table_bf16[ids].reshape(50, 4, 8).astype(jnp.float32), axis=1
+    )
+    out_bf = gather_fanout_mean(table_bf16, ids, fanout=4, tile_r=16,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out_bf), np.asarray(want_bf),
+                               rtol=1e-6)
