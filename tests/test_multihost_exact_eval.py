@@ -44,11 +44,23 @@ assert not any("falling back" in str(r.get("note", "")) for r in recs), recs
 assert all("val_metric" in h for h in hist), hist
 vm = trainer.evaluate_exact(state, store, fold="val")
 assert np.isfinite(vm)
-if jax.process_index() == 0:
-    from tpu_sage.train.checkpoint import save_checkpoint
-    save_checkpoint(sys.argv[4], state, config=cfg)
+from tpu_sage.train.checkpoint import save_checkpoint
+save_checkpoint(sys.argv[4], state, config=cfg)  # process 0 writes, by contract
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("ckpt-written")
+
+# cross-process RESUME: load_checkpoint re-places every leaf with the
+# template's (replicated, cross-process) sharding; training continues
+recs2 = []
+_, state2, hist2 = fit_partitioned(store, cfg.replace(epochs=4),
+                                   log=lambda d: recs2.append(d),
+                                   resume_from=sys.argv[4])
+resumed = next(r for r in recs2 if "resumed_from" in r)
+assert resumed["start_epoch"] == 2, recs2
+assert [h["epoch"] for h in hist2] == [2, 3], hist2
 print(json.dumps({"proc": jax.process_index(), "exact_val": vm,
-                  "val": [h["val_metric"] for h in hist]}), flush=True)
+                  "val": [h["val_metric"] for h in hist],
+                  "resumed_val": hist2[-1]["val_metric"]}), flush=True)
 """
 
 

@@ -39,10 +39,16 @@ def save_checkpoint(path: str, state: TrainState, config=None) -> None:
     ``config`` (a TrainConfig) is recorded as a ``__config__`` JSON string so
     a checkpoint carries the knobs it was trained with (incl. the measured
     perf knobs — gather_form/gather_chunks/fuse_last/int8_summean); restore
-    ignores it structurally, ``read_checkpoint_config`` reads it back."""
+    ignores it structurally, ``read_checkpoint_config`` reads it back.
+
+    Multi-process runs: process 0 alone writes (state is replicated, so the
+    bytes would be identical — a shared filesystem must not see N processes
+    racing the same tmp file); every process can read it back at resume."""
     import dataclasses as _dc
     import json as _json
 
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     d = os.path.dirname(os.path.abspath(path))
     if d:
         os.makedirs(d, exist_ok=True)
@@ -151,7 +157,13 @@ class BestTracker:
 
 
 def load_checkpoint(path: str, template: TrainState) -> TrainState:
-    """Restore into the shape of ``template`` (same model/optimizer config)."""
+    """Restore into the shape of ``template`` (same model/optimizer config).
+
+    Each restored leaf is placed with the TEMPLATE leaf's sharding when the
+    mesh spans processes (a plain ``jnp.asarray`` would commit to local
+    device 0, which a cross-process jit cannot consume); single-process runs
+    keep the plain upload."""
+    multi = jax.process_count() > 1
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files}
     storable_template = template.replace(key=jax.random.key_data(template.key))
@@ -166,6 +178,13 @@ def load_checkpoint(path: str, template: TrainState) -> TrainState:
             raise ValueError(
                 f"checkpoint mismatch at {key}: {stored.shape} vs {np.shape(leaf)}"
             )
-        leaves.append(jnp.asarray(stored, dtype=np.asarray(leaf).dtype))
+        stored = stored.astype(np.asarray(leaf).dtype)
+        sharding = getattr(leaf, "sharding", None)
+        if multi and sharding is not None:
+            leaves.append(jax.make_array_from_callback(
+                stored.shape, sharding,
+                lambda idx, s=stored: s[idx]))
+        else:
+            leaves.append(jnp.asarray(stored))
     restored = jax.tree_util.tree_unflatten(treedef, leaves)
     return restored.replace(key=jax.random.wrap_key_data(restored.key))
