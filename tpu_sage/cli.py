@@ -92,6 +92,11 @@ def parse_args(argv=None):
                          "(host, chip) mesh)")
     ap.add_argument("--halo-capacity-factor", type=float, default=None,
                     help="bucketed-halo capacity factor (default 2.0)")
+    ap.add_argument("--halo-chunks", type=int, default=None,
+                    help="split each exact halo exchange into k query chunks "
+                         "(descriptor-stream overlap inside shard_map; "
+                         "default 10 — the round-4 measured winner at "
+                         "headline scale; 1 disables)")
     ap.add_argument("--fuse-first-layer", action="store_true",
                     help="whole-table projection first layer (mean+identity; "
                          "custom-VJP training path — see RESULTS.md tradeoffs)")
@@ -253,6 +258,8 @@ def main(argv=None):
         flag_values["halo"] = args.halo
     if args.halo_capacity_factor is not None:
         flag_values["halo_capacity_factor"] = args.halo_capacity_factor
+    if args.halo_chunks is not None:
+        flag_values["halo_chunks"] = args.halo_chunks
     if args.fuse_first_layer:
         flag_values["fuse_first_layer"] = True
     if args.feature_int8:
@@ -298,6 +305,8 @@ def main(argv=None):
             overrides["halo"] = args.halo
         if args.halo_capacity_factor is not None:
             overrides["halo_capacity_factor"] = args.halo_capacity_factor
+        if args.halo_chunks is not None:
+            overrides["halo_chunks"] = args.halo_chunks
         if args.fuse_first_layer:
             overrides["fuse_first_layer"] = True
         if args.feature_int8:

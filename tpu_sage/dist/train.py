@@ -429,8 +429,10 @@ class PartitionedTrainer:
                 f"{axis!r} — build the mesh with make_mesh(axis_names="
                 "('host', 'chip'), shape=(n_hosts, n_chips))"
             )
-        # off (1) by default until measured on-chip — see TrainConfig.halo_chunks
-        halo_chunks = getattr(config, "halo_chunks", 1)
+        # default 10 — the round-4 measured winner at the headline graph
+        # (closes the unchunked exchange's +62% overhead to +0.5%; see
+        # TrainConfig.halo_chunks for the sweep table)
+        halo_chunks = getattr(config, "halo_chunks", 10)
         self.gather = make_gather(
             self.halo_mode,
             self.n_shards,

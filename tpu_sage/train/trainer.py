@@ -109,12 +109,14 @@ class TrainConfig:
     # round-3 measured winner at every shard count — SCALING_r03.json;
     # resolution + per-mode notes in dist/train.py::resolve_halo_mode)
     halo_capacity_factor: float = 2.0  # bucketed capacity = factor*q/n_shards
-    halo_chunks: int = 1  # split each exact halo exchange into k equal query
+    halo_chunks: int = 10  # split each exact halo exchange into k equal query
     # chunks (independent collectives + answering gathers — the single-device
-    # descriptor-overlap lever applied inside shard_map). 1 = off: the lever
-    # is implemented and correctness-tested but its on-chip win is UNMEASURED
-    # (the axon tunnel entered its hang state during the round-3 measurement
-    # window) — flip after measuring with scripts/bench_halo.py
+    # descriptor-overlap lever applied inside shard_map). Measured round 4 at
+    # the 232,965-node headline graph (bench_logs/r4_halo_chunks.log,
+    # 200-step scans): chunks 1/2/4/8/10 → 3.747/2.771/2.719/2.404/2.345
+    # ms/step vs replicated 2.334 — 10 closes the round-3 +62% partitioned
+    # overhead to +0.5%. Counts snap to divisors per exchange; exchanges
+    # under ops._CHUNK_MIN_ROWS stay unchunked (1 restores round-3 behavior)
 
     @classmethod
     def from_json(cls, path: str) -> "TrainConfig":
