@@ -162,3 +162,32 @@ def test_fit_with_csr_window_default():
     _, _, hist = fit(problem, cfg, log=lambda d: None, csr=True)
     assert hist[-1]["train_loss"] < hist[0]["train_loss"]
     assert hist[-1]["val_metric"] > 0.8
+
+
+def test_exact_val_with_csr_densifies_eval_graph():
+    """--exact-val + --csr-adjacency: round-4 closes the silent fallback —
+    the eval pass densifies the full graph (logged) and the exact metric
+    equals a manual dense-graph recomputation; training stays CSR."""
+    import numpy as np
+
+    from tpu_sage.data.problem import NodeProblem
+    from tpu_sage.nn.full_graph import embed_all_nodes
+    from tpu_sage.train.trainer import TrainConfig, fit, fold_metric_np
+
+    store = sbm_store(n_nodes=400, n_classes=3, feat_dim=16, avg_degree=6,
+                      seed=35)
+    problem = NodeProblem(store)
+    cfg = TrainConfig(batch_size=64, epochs=2, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(16, 16),
+                      lr_init=0.01, exact_val=True)
+    notes = []
+    trainer, state, hist = fit(problem, cfg, log=notes.append, csr=True)
+    assert any("densifies" in str(r.get("note", "")) for r in notes)
+    assert not any("falling back" in str(r.get("note", "")) for r in notes)
+    graph_full = problem.device_graph(train=False)
+    logits = np.asarray(embed_all_nodes(trainer.model, state.params,
+                                        graph_full, with_head=True))
+    val_ids = problem.folds["val"]
+    want = fold_metric_np(problem.task, logits[val_ids],
+                          store.targets[val_ids])
+    assert hist[-1]["val_metric"] == want

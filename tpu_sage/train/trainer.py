@@ -464,11 +464,20 @@ def fit(
     model = build_model(config, problem.n_nodes, problem.n_classes)
     trainer = Trainer(model, config, steps_per_epoch, task=problem.task)
 
+    # exact_val needs a dense eval adjacency (layer-wise inference walks
+    # whole rows); with CSR training storage the FULL graph densifies for
+    # eval only — opt-in cost, logged below (training stays CSR)
+    exact_requested = False
+    if config.exact_val:
+        from tpu_sage.nn.full_graph import exact_supported
+
+        exact_requested = exact_supported(model)
     graph_train = problem.device_graph(
         train=True, csr=csr, quantize=config.feature_int8
     )
     graph_full = problem.device_graph(
-        train=False, csr=csr, quantize=config.feature_int8
+        train=False, csr=csr and not exact_requested,
+        quantize=config.feature_int8,
     )
     from tpu_sage.train.checkpoint import (BestTracker, maybe_checkpoint,
                                            resume_state)
@@ -485,14 +494,14 @@ def fit(
 
     # exact full-graph validation (opt-in): variance-free layer-wise
     # inference instead of sampled eval — the serving-mode metric
-    use_exact_val = False
-    if config.exact_val:
-        from tpu_sage.nn.full_graph import exact_supported
-
-        use_exact_val = exact_supported(model) and not csr
-        if not use_exact_val:
-            log({"note": "exact_val unsupported for this aggregator/storage; "
-                         "falling back to sampled validation"})
+    use_exact_val = exact_requested
+    if config.exact_val and not use_exact_val:
+        log({"note": "exact_val unsupported for this aggregator; "
+                     "falling back to sampled validation"})
+    elif use_exact_val and csr:
+        log({"note": "exact_val densifies the FULL-graph adjacency for the "
+                     "eval pass (training storage stays CSR); budget "
+                     "n_nodes*max_degree*4 bytes of transient HBM"})
 
     def eval_fold_ids(ids, exact: bool = True):
         if use_exact_val and exact:
