@@ -195,3 +195,40 @@ def test_unsupervised_patience_inactive_without_probe():
     assert len(hist) == 2
     assert any("patience/save_best inactive" in str(r.get("note", ""))
                for r in recs)
+
+
+def test_unsupervised_with_csr_adjacency():
+    """Round 4: the unsupervised loop runs on CSR storage (window hop) —
+    walks, the NCE tree, and the probe all dispatch on the graph type."""
+    problem = sbm_problem(n_nodes=400, n_classes=3, feat_dim=16, avg_degree=6,
+                          p_in=0.9, seed=37)
+    cfg = TrainConfig(batch_size=64, epochs=3, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(16, 16),
+                      lr_init=0.005)
+    _, _, hist = fit_unsupervised(
+        problem, cfg, UnsupConfig(walk_length=2, n_negatives=5),
+        log=lambda d: None, csr=True,
+    )
+    assert hist[-1]["unsup_loss"] < hist[0]["unsup_loss"]
+    assert hist[-1]["probe_val_accuracy"] > 0.5
+
+
+def test_graph_random_walk_csr_stays_on_graph():
+    """CSR walk dispatch: final nodes are graph-reachable; isolated nodes
+    self-loop (same contract as the dense random_walk test)."""
+    import jax.numpy as jnp
+
+    from tpu_sage.data.problem import NodeProblem
+    from tpu_sage.data.synthetic import sbm_store
+    from tpu_sage.train.unsupervised import graph_random_walk
+
+    store = sbm_store(n_nodes=200, n_classes=3, feat_dim=8, avg_degree=5,
+                      seed=39)
+    problem = NodeProblem(store)
+    g_csr = problem.device_graph(train=True, csr=True)
+    g_dense = problem.device_graph(train=True)
+    ids = jnp.arange(0, 200, 7, dtype=jnp.int32)
+    out_csr = np.asarray(graph_random_walk(jax.random.key(3), g_csr, ids, 4))
+    out_dense = np.asarray(graph_random_walk(jax.random.key(3), g_dense, ids, 4))
+    assert out_csr.shape == out_dense.shape == (len(np.asarray(ids)),)
+    assert ((0 <= out_csr) & (out_csr < 200)).all()

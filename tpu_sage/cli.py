@@ -348,11 +348,11 @@ def main(argv=None):
         print("error: --checkpoint-every requires --checkpoint-path",
               file=sys.stderr)
         return 2
-    if args.csr_adjacency and (args.partitioned or args.unsupervised):
+    if args.csr_adjacency and args.partitioned:
         # rejecting beats silently uploading the dense table the user asked
-        # to avoid
+        # to avoid (the halo exchange is formulated over the padded table)
         print("error: --csr-adjacency currently supports the single-device "
-              "supervised path only", file=sys.stderr)
+              "paths only", file=sys.stderr)
         return 2
     if args.partitioned and args.unsupervised:
         from tpu_sage.dist.unsupervised import fit_unsupervised_partitioned
@@ -391,6 +391,7 @@ def main(argv=None):
             checkpoint_every=args.checkpoint_every,
             probe=not args.no_eval,  # paper protocol: logistic probe on the
             # learned embeddings (logged by the fit loop itself)
+            csr=args.csr_adjacency,
         )
     else:
         trainer, state, history = fit(

@@ -51,6 +51,30 @@ def random_walk(
     return final
 
 
+def graph_random_walk(key, graph, ids, length: int) -> jnp.ndarray:
+    """Storage-dispatching :func:`random_walk` (dense padded table or CSR —
+    the same duck dispatch as ``sample.csr.graph_sample_tree``)."""
+    if not hasattr(graph, "indptr"):
+        return random_walk(key, graph.adj, graph.degrees, ids, length)
+    from tpu_sage.sample.csr import (uniform_neighbor_sample_csr,
+                                     uniform_neighbor_sample_csr_window)
+
+    def body(carry, k):
+        cur = carry
+        if graph.window > 0:
+            nxt = uniform_neighbor_sample_csr_window(
+                k, graph.indptr, graph.indices, graph.degrees, cur, 1,
+                graph.window)[:, 0]
+        else:
+            nxt = uniform_neighbor_sample_csr(
+                k, graph.indptr, graph.indices, graph.degrees, cur, 1)[:, 0]
+        return nxt, None
+
+    keys = jax.random.split(key, length)
+    final, _ = jax.lax.scan(body, ids.astype(jnp.int32), keys)
+    return final
+
+
 def nce_loss(
     z_u: jnp.ndarray,      # (B, D) anchor embeddings
     z_pos: jnp.ndarray,    # (B, D) positive embeddings
@@ -125,10 +149,10 @@ class UnsupervisedTrainer:
         )
 
     def _encode(self, params, key, graph: DeviceGraph, ids: jnp.ndarray) -> jnp.ndarray:
-        from tpu_sage.sample.sampler import sample_tree
+        from tpu_sage.sample.csr import graph_sample_tree
 
-        levels = sample_tree(key, graph.adj, graph.degrees, ids,
-                             self.model.fanouts(train=True))
+        levels = graph_sample_tree(key, graph, ids,
+                                   self.model.fanouts(train=True))
         return self.model.apply(params, levels, graph.feats, method=self.model.encode)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
@@ -158,8 +182,8 @@ class UnsupervisedTrainer:
 
             pos = row_gather(walks, ids)[jnp.arange(b), wi, pi]
         else:
-            pos = random_walk(k_walk, graph.adj, graph.degrees, ids,
-                              self.unsup.walk_length)
+            pos = graph_random_walk(k_walk, graph, ids,
+                                    self.unsup.walk_length)
         if self.unsup.neg_power > 0:
             logits = self.unsup.neg_power * jnp.log(
                 jnp.maximum(graph.degrees.astype(jnp.float32), 1.0)
@@ -261,6 +285,7 @@ def fit_unsupervised(
     resume_from: Optional[str] = None,
     checkpoint_every: int = 0,
     probe: bool = True,
+    csr: bool = False,
 ) -> Tuple[UnsupervisedTrainer, TrainState, list]:
     """Epoch loop over all train-fold nodes with the NCE objective.
 
@@ -290,7 +315,8 @@ def fit_unsupervised(
     steps_per_epoch = max(1, len(train_ids) // config.batch_size)
     model = build_model(config, problem.n_nodes, max(problem.n_classes, 2))
     trainer = UnsupervisedTrainer(model, config, unsup, steps_per_epoch)
-    graph = problem.device_graph(train=True, quantize=config.feature_int8)
+    graph = problem.device_graph(train=True, csr=csr,
+                                 quantize=config.feature_int8)
     state = trainer.init_state(graph)
     if walks is None:
         walks = getattr(problem, "walks", None)
@@ -318,7 +344,7 @@ def fit_unsupervised(
     def run_probe(st):
         nonlocal graph_full
         if graph_full is None:
-            graph_full = problem.device_graph(train=False,
+            graph_full = problem.device_graph(train=False, csr=csr,
                                               quantize=config.feature_int8)
         return logistic_probe(
             lambda ids: trainer.embed_all(st.params, graph_full, ids),
