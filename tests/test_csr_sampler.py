@@ -111,8 +111,9 @@ def test_csr_window_hop_bitwise_matches_element_hop():
                       seed=31)
     indptr, indices = csr_from_padded(store.adj, store.degrees)
     window = max(1, int(store.degrees.max()))
+    pad = (-len(indices)) % window + 2 * window
     indices_pad = jnp.asarray(
-        np.concatenate([indices, np.zeros(window, np.int32)]))
+        np.concatenate([indices, np.zeros(pad, np.int32)]))
     indptr_d = jnp.asarray(indptr)
     deg_d = jnp.asarray(store.degrees, jnp.int32)
     ids = jnp.asarray(np.arange(0, 400, 3), jnp.int32)
@@ -134,8 +135,9 @@ def test_csr_window_covers_isolated_and_tail_nodes():
     adj, deg = build_padded_adjacency(edges, 5, max_degree=4)
     indptr, indices = csr_from_padded(adj, deg)
     window = max(1, int(deg.max()))
+    pad = (-len(indices)) % window + 2 * window
     indices_pad = jnp.asarray(
-        np.concatenate([indices, np.zeros(window, np.int32)]))
+        np.concatenate([indices, np.zeros(pad, np.int32)]))
     out = np.asarray(uniform_neighbor_sample_csr_window(
         jax.random.key(0), jnp.asarray(indptr), indices_pad,
         jnp.asarray(deg, jnp.int32), jnp.asarray([3, 4], jnp.int32), 5,
@@ -156,7 +158,9 @@ def test_fit_with_csr_window_default():
     problem = NodeProblem(store)
     graph = problem.device_graph(train=True, csr=True)
     assert graph.window == int(store.train_degrees.max())
-    assert graph.indices.shape[0] == int(store.train_degrees.sum()) + graph.window
+    nnz = int(store.train_degrees.sum())
+    assert graph.indices.shape[0] == nnz + (-nnz) % graph.window + 2 * graph.window
+    assert graph.indices.shape[0] % graph.window == 0
     cfg = TrainConfig(batch_size=64, epochs=3, n_train_samples=(5, 3),
                       n_val_samples=(5, 3), output_dims=(16, 16), lr_init=0.01)
     _, _, hist = fit(problem, cfg, log=lambda d: None, csr=True)

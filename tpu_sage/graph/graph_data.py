@@ -214,11 +214,12 @@ class GraphStore:
         adj = self.train_adj if train else self.adj
         deg = self.train_degrees if train else self.degrees
         indptr, indices = csr_from_padded(adj, deg)
-        # window-gather hop (sample/csr.py): one descriptor per frontier node
-        # needs a window ≥ the true max degree and that many tail padding
-        # entries so the contiguous slice never clamps
+        # window-gather hop (sample/csr.py): the flat indices view as a 2-D
+        # (m, window) table with window ≥ the true max degree; pad to a row
+        # multiple PLUS two spare rows so every node's two-row span exists
         window = max(1, int(deg.max())) if len(deg) else 1
-        indices = np.concatenate([indices, np.zeros(window, np.int32)])
+        pad = (-len(indices)) % window + 2 * window
+        indices = np.concatenate([indices, np.zeros(pad, np.int32)])
         if self.task == "classification":
             targets = jnp.asarray(self.targets, dtype=jnp.int32)
         else:

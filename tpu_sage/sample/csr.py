@@ -77,24 +77,30 @@ def uniform_neighbor_sample_csr(
 def uniform_neighbor_sample_csr_window(
     key: jax.Array,
     indptr: jnp.ndarray,    # (n+1,) int32
-    indices: jnp.ndarray,   # (nnz + window,) int32 — window tail padding
+    indices: jnp.ndarray,   # (nnz padded to k·window + 2·window,) int32
     degrees: jnp.ndarray,   # (n,) int32
     ids: jnp.ndarray,       # (B,) int32
     n_samples: int,
     window: int,            # static, ≥ the graph's true max degree
 ) -> jnp.ndarray:
-    """Window-gather CSR hop: one descriptor per frontier NODE.
+    """Window-gather CSR hop: two ROW descriptors per frontier node.
 
     The element formulation above pays the TPU gather's per-descriptor cost
     (~7 ns/row, RESULTS.md round-3 roofline) for every SAMPLED ELEMENT —
-    B·fanout descriptors per hop. But a node's CSR row is contiguous in
-    ``indices``, so gathering the ``window``-wide span starting at
-    ``indptr[id]`` covers the entire row in ONE descriptor (window ≥ true
-    max degree by construction; ``indices`` carries ``window`` padding
-    entries so the slice never clamps), and the sampled columns are selected
-    exactly like the dense sampler's one-hot column select. fanout× fewer
-    descriptors at each hop for window·4 B rows — the same bytes/descriptor
-    shape as the dense adjacency row gather, at nnz storage.
+    B·fanout descriptors per hop. A node's CSR row is contiguous in
+    ``indices``, so view the flat array as a 2-D ``(m, window)`` table and
+    fetch the two consecutive table rows that cover the span
+    ``[indptr[id], indptr[id] + window)`` with the framework's fast 2-D row
+    gather (``ops.row_gather``): 2 descriptors per node instead of fanout,
+    at the same bytes/descriptor shape as the dense adjacency gather, nnz
+    storage. The sampled columns then come out of the concatenated pair via
+    the dense sampler's one-hot select at offset ``indptr[id] % window``.
+
+    (A one-descriptor variant via vmapped ``dynamic_slice`` was measured
+    first and REJECTED: XLA lowers the strided 1-D slice gather at 16.0
+    ms/step vs 2.4 for the element form at the Reddit hop shape —
+    bench_logs/r4_csr_breakdown_slicegather.log. The 2-D two-row form rides
+    the same lowering as the dense sampler.)
 
     Bit-identical to :func:`uniform_neighbor_sample_csr` for the same key:
     both draw the same uniforms, clamp to the same columns, and read the
@@ -106,16 +112,19 @@ def uniform_neighbor_sample_csr_window(
     ids = ids.astype(jnp.int32)
     deg = row_gather_chunked(degrees, ids)
     start = row_gather_chunked(indptr, ids)
-    rows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(indices, (s,), (window,))
-    )(start)                                            # (B, window)
+    table = indices.reshape(-1, window)                 # (m, window)
+    q, off = jnp.divmod(start, window)
+    pair = jnp.concatenate(
+        [row_gather_chunked(table, q), row_gather_chunked(table, q + 1)],
+        axis=1,
+    )                                                   # (B, 2*window)
     safe_deg = jnp.maximum(deg, 1)
     u = jax.random.uniform(key, (ids.shape[0], n_samples))
     cols = jnp.minimum(
         (u * safe_deg[:, None].astype(u.dtype)).astype(jnp.int32),
         safe_deg[:, None] - 1,
     )
-    nbr = select_columns(rows, cols)
+    nbr = select_columns(pair, off[:, None] + cols)
     return jnp.where(deg[:, None] == 0, ids[:, None], nbr)
 
 
