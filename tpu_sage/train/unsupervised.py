@@ -106,16 +106,19 @@ class UnsupConfig:
 
 
 def unsup_gather_defaults(config: TrainConfig) -> TrainConfig:
-    """Measured gather defaults for the UNSUPERVISED workload (round-3 A/B,
-    bench_logs/r3_unsup_ab.log): the NCE step's sampled tree is ~10× the
-    supervised one (anchors∪positives∪negatives roots), and at that size
-    the masked lowering at 8 chunks wins decisively — 44.6M sampled-edges/s
-    vs 37.2M plain@8, 34.8M masked@10, 29.7M plain@10 (the supervised
-    defaults). Applied only where the user left the knobs unset."""
+    """Measured gather defaults for the UNSUPERVISED workload: the NCE
+    step's sampled tree is ~12× the supervised one (anchors∪positives∪
+    negatives roots), and at that size the masked lowering wins at every
+    chunk count. Round-4 full grid (bench_logs/r4_unsup_sweep.log, 2×6
+    form×chunks + fuse_last arm): masked 6/8/12/16/24/32 →
+    34.8/45.6/35.3/45.9/**48.7**/46.4M sampled-edges/s; plain tops out at
+    40.0M (@24); fuse_last=off at the winner drops to 35.5M (fusion +37%,
+    stays auto). masked@24 supersedes round 3's masked@8 (44.6M).
+    Applied only where the user left the knobs unset."""
     if config.gather_form is None:
         config = config.replace(gather_form="masked")
     if config.gather_chunks is None:
-        config = config.replace(gather_chunks=8)
+        config = config.replace(gather_chunks=24)
     return config
 
 
