@@ -65,10 +65,10 @@ class CSRDeviceGraph:
     """CSR variant of :class:`DeviceGraph` — the memory-lean storage.
 
     ``nnz`` neighbor ids instead of ``n·max_degree``; sampling runs through
-    ``tpu_sage.sample.csr`` (element gather per hop — latency-bound, see the
-    module docstring tradeoff). Duck-compatible with ``DeviceGraph`` for
-    every non-adjacency field, so the trainer dispatches purely on the
-    presence of ``indptr``.
+    ``tpu_sage.sample.csr`` (window hop by default since round 4 — 93% of
+    the dense path's throughput, see the module docstring tradeoff).
+    Duck-compatible with ``DeviceGraph`` for every non-adjacency field, so
+    the trainer dispatches purely on the presence of ``indptr``.
     """
 
     indptr: jnp.ndarray    # (n_nodes+1,) int32

@@ -8,12 +8,15 @@ ids — on skewed-degree graphs with a high ``max_degree`` cap that is a
 multi-× HBM saving, at the cost of an element gather per hop (B·fanout
 random loads from the flat ``indices`` array).
 
-Tradeoff, measured on v5e (STATUS.md perf log): TPU gathers pay a per-row
-descriptor cost (~10 ns/row — RESULTS.md "Efficiency analysis"), so the
-element gather per hop (B·fanout rows of 4 B) loses to the padded-table
-row-gather + one-hot column select, which is the throughput-optimal
-default (21.8M vs 32.6M edges/s end to end). Use CSR when the padded table
-doesn't fit: ``problem.h5`` graphs with ``max_degree`` ≫ mean degree.
+Tradeoff, measured on v5e (RESULTS.md round 4): TPU gathers pay a per-row
+descriptor cost (~7 ns/row), so the naive element gather per hop (B·fanout
+descriptors) ran CSR at 55% of the dense path. The round-4 WINDOW hop
+(``uniform_neighbor_sample_csr_window`` — each node's contiguous row span
+fetched as two 2-D table-row gathers, then the dense sampler's one-hot
+select) cut the sampling stage 2.34 → 0.66 ms/step and put CSR at **93% of
+the dense path's whole-step throughput** (56.9M vs 60.9M edges/s at the
+headline config) — so CSR is now a near-free memory saving wherever
+``nnz < n·max_degree`` (skewed-degree graphs with a high cap).
 
 Sampling semantics are IDENTICAL to the dense sampler: uniform with
 replacement over the true neighbors, degree-0 nodes self-loop.
