@@ -113,8 +113,9 @@ def parse_args(argv=None):
                          "on for all aggregators except lstm, by measurement)")
     ap.add_argument("--csr-adjacency", action="store_true",
                     help="store the adjacency as CSR on device (nnz ids "
-                         "instead of n*max_degree — memory-lean; single-device "
-                         "supervised path)")
+                         "instead of n*max_degree — memory-lean; composes "
+                         "with --unsupervised and --partitioned; 93%% of the "
+                         "dense path's measured throughput)")
     ap.add_argument("--feature-int8", action="store_true",
                     help="store node features int8 with per-column scales "
                          "(halves the resident table and gathered bytes; "
@@ -348,12 +349,6 @@ def main(argv=None):
         print("error: --checkpoint-every requires --checkpoint-path",
               file=sys.stderr)
         return 2
-    if args.csr_adjacency and args.partitioned:
-        # rejecting beats silently uploading the dense table the user asked
-        # to avoid (the halo exchange is formulated over the padded table)
-        print("error: --csr-adjacency currently supports the single-device "
-              "paths only", file=sys.stderr)
-        return 2
     if args.partitioned and args.unsupervised:
         from tpu_sage.dist.unsupervised import fit_unsupervised_partitioned
         from tpu_sage.train.unsupervised import UnsupConfig
@@ -368,6 +363,7 @@ def main(argv=None):
             checkpoint_every=args.checkpoint_every,
             probe=not args.no_eval,  # paper protocol: logistic probe on the
             # partitioned-path embeddings (logged by the fit loop itself)
+            csr=args.csr_adjacency,
         )
     elif args.partitioned:
         from tpu_sage.dist.train import fit_partitioned
@@ -377,6 +373,7 @@ def main(argv=None):
             eval_every_epoch=not args.no_eval,
             resume_from=args.checkpoint_path,
             checkpoint_every=args.checkpoint_every,
+            csr=args.csr_adjacency,
         )
     elif args.unsupervised:
         from tpu_sage.train.unsupervised import UnsupConfig, fit_unsupervised

@@ -42,6 +42,62 @@ def shard_offset(axis_name: str, shard_size: int) -> jnp.ndarray:
     return lax.axis_index(axis_name) * shard_size
 
 
+class CSRAdjRows:
+    """Duck-typed shard-local ``(m, window+1)`` adjacency‖degree table
+    materialized on demand from CSR storage (round 4).
+
+    Every halo formulation in this module answers queries with
+    ``local_table[local_idx]`` plus ``.shape``/``.dtype``/``.ndim`` — so a
+    virtual table that builds each requested row from the shard's CSR
+    (``indptr (m+1,)``, ``indices (r, window)`` — the flat nnz array viewed
+    as 2-D rows, tail-padded two spare rows) slots into exact / ring /
+    pipelined / bucketed / hier2d unchanged. Row materialization is the
+    single-device window hop (sample.csr): two fast 2-D row gathers per
+    query + an in-register shift select — 2 descriptors/query instead of a
+    dense ``m·max_degree`` resident table. Contents are bit-identical to
+    the dense ``concat(adj, deg[:, None])`` rows in the first ``deg`` slots
+    (the only slots the sampler ever selects).
+    """
+
+    def __init__(self, indptr: jnp.ndarray, indices: jnp.ndarray,
+                 degrees: jnp.ndarray, window: int):
+        self.indptr = indptr
+        self.indices = indices
+        self.degrees = degrees
+        self.window = window
+
+    @property
+    def shape(self):
+        return (self.degrees.shape[0], self.window + 1)
+
+    @property
+    def ndim(self):
+        return 2
+
+    @property
+    def dtype(self):
+        return self.indices.dtype
+
+    def __getitem__(self, idx):
+        from tpu_sage.ops import row_gather_chunked
+        from tpu_sage.sample.sampler import select_columns
+
+        shape = jnp.shape(idx)
+        flat = jnp.reshape(idx, (-1,)).astype(jnp.int32)
+        start = row_gather_chunked(self.indptr, flat)
+        q, off = jnp.divmod(start, self.window)
+        pair = jnp.concatenate(
+            [row_gather_chunked(self.indices, q),
+             row_gather_chunked(self.indices, q + 1)], axis=1,
+        )                                                   # (N, 2·window)
+        win = select_columns(
+            pair, off[:, None] + jnp.arange(self.window, dtype=jnp.int32)[None, :]
+        )                                                   # (N, window)
+        deg = row_gather_chunked(self.degrees, flat).astype(win.dtype)
+        out = jnp.concatenate([win, deg[:, None]], axis=1)
+        return out.reshape(shape + (self.window + 1,))
+
+
 def dist_gather(
     local_table: jnp.ndarray,  # (m, d) rows owned by this shard
     ids: jnp.ndarray,          # (q,) GLOBAL ids queried by this shard

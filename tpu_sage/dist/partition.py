@@ -283,6 +283,81 @@ def shard_graph(
     return graph, m
 
 
+def partition_csr_arrays(
+    store: GraphStore, n_shards: int, train: bool
+) -> Tuple[Dict[str, np.ndarray], int, int]:
+    """Per-shard CSR adjacency blocks, padded to uniform static shapes.
+
+    Each shard's ``m`` padded-dense rows convert to a local CSR whose
+    ``indices`` values stay GLOBAL node ids (the halo exchange routes on
+    them); the flat per-shard arrays view as ``(r, window)`` 2-D blocks for
+    the two-row window materialization (``halo.CSRAdjRows``), padded to the
+    heaviest shard's row count so shapes are static under ``shard_map``
+    (front a ``degree_balanced_permutation`` to shrink that padding on
+    skewed graphs). Returns ``(arrays, m, window)``.
+    """
+    from tpu_sage.sample.csr import csr_from_padded
+
+    arrays, m = partition_arrays(store, n_shards, train)
+    adj, deg = arrays["adj"], arrays["degrees"]
+    window = max(1, int(deg.max())) if len(deg) else 1
+    indptrs, blocks = [], []
+    for s in range(n_shards):
+        ip, ind = csr_from_padded(adj[s * m:(s + 1) * m], deg[s * m:(s + 1) * m])
+        pad = (-len(ind)) % window + 2 * window
+        blocks.append(np.concatenate([ind, np.zeros(pad, np.int32)])
+                      .reshape(-1, window))
+        indptrs.append(ip)
+    r_max = max(b.shape[0] for b in blocks)
+    blocks = [np.concatenate([b, np.zeros((r_max - b.shape[0], window),
+                                          np.int32)]) for b in blocks]
+    arrays = dict(arrays)
+    del arrays["adj"]
+    arrays["indptr"] = np.concatenate(indptrs).astype(np.int32)
+    arrays["indices"] = np.concatenate(blocks).astype(np.int32)
+    return arrays, m, window
+
+
+def shard_graph_csr(
+    store: GraphStore, mesh: Mesh, train: bool, axis: str = "data",
+    feat_dtype=None, quantize: bool = False,
+):
+    """CSR-adjacency variant of :func:`shard_graph`: uploads a
+    :class:`~tpu_sage.graph.graph_data.CSRShardedGraph` (same feature /
+    target / scale layout, adjacency as per-shard CSR blocks). Returns
+    ``(graph, shard_size)``."""
+    from tpu_sage.dist.mesh import axis_size
+    from tpu_sage.graph.graph_data import CSRShardedGraph
+
+    n_shards = axis_size(mesh, axis)
+    arrays, m, window = partition_csr_arrays(store, n_shards, train)
+    put = lambda x: put_sharded(np.asarray(x), mesh, P(axis))
+    putr = lambda x: put_sharded(np.asarray(x), mesh, P())
+    if quantize:
+        from tpu_sage.data.quantize import quantize_np
+
+        q, scale = quantize_np(arrays["feats"])
+        feats_dev = put(q)
+        feat_scale = putr(scale.astype(feat_dtype or np.float32))
+    else:
+        feats_dev = put(arrays["feats"].astype(feat_dtype or np.float32))
+        feat_scale = putr(np.ones((feats_dev.shape[1],), feats_dev.dtype))
+    graph = CSRShardedGraph(
+        indptr=put(arrays["indptr"]),
+        indices=put(arrays["indices"]),
+        degrees=put(arrays["degrees"]),
+        feats=feats_dev,
+        targets=put(
+            arrays["targets"].astype(
+                np.int32 if store.task == "classification" else np.float32
+            )
+        ),
+        feat_scale=feat_scale,
+        window=window,
+    )
+    return graph, m
+
+
 def shard_fold(
     fold_ids: np.ndarray, n_shards: int, shard_size: int
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -108,6 +108,31 @@ def resolve_mesh_axis(config, mesh: Optional[Mesh]):
 
 
 
+def adj_pack_of(graph):
+    """The per-shard adjacency arrays as a pack the shard_map steps thread
+    through one argument: dense ``(adj, degrees)`` or CSR
+    ``(indptr, indices, degrees)`` (round 4 — CSRShardedGraph)."""
+    if hasattr(graph, "indptr"):
+        return (graph.indptr, graph.indices, graph.degrees)
+    return (graph.adj, graph.degrees)
+
+
+def build_adj_view(adj_pack, window: int):
+    """``(adjacency‖degree table, degrees)`` from the packed shard-local
+    arrays. ``window`` > 0 selects the CSR virtual table
+    (``halo.CSRAdjRows`` — rows materialized on demand by the two-row window
+    hop); 0 the dense concatenated table. Row CONTENTS are identical in
+    every slot the sampler reads, so the halo formulations and sampling math
+    are shared bit-for-bit between the storages."""
+    if window > 0:
+        indptr, indices, deg = adj_pack
+        from tpu_sage.dist.halo import CSRAdjRows
+
+        return CSRAdjRows(indptr, indices, deg, window), deg
+    adj, deg = adj_pack
+    return jnp.concatenate([adj, deg[:, None]], axis=1), deg
+
+
 def _chunk_queries(n_chunks: int, q: int) -> int:
     """Effective chunk count for a halo exchange of ``q`` queries — the
     single-device descriptor-stream-overlap lever (ops.snap_chunks) applied
@@ -408,12 +433,16 @@ class PartitionedTrainer:
         steps_per_epoch: int,
         task: str = "classification",
         axis: str = "data",
+        csr_window: int = 0,
     ):
         self.model = model
         self.config = config
         self.mesh = mesh
         self.axis = axis
         self.shard_size = shard_size
+        # > 0 ⇔ the TRAIN graph is CSR-sharded (CSRShardedGraph) with this
+        # window width; the eval graph derives its own window at eval time
+        self.csr_window = csr_window
         self.n_shards = axis_size(mesh, axis)
         self.loss_fn = loss_lookup[task]
         self.steps_per_epoch = steps_per_epoch
@@ -461,7 +490,7 @@ class PartitionedTrainer:
         self.gather_levels = make_gather_levels(self.halo_mode, self.n_shards)
         self._step_fn = None
         self._epoch_fns = {}
-        self._eval_fn = None
+        self._eval_fns = {}  # keyed on the eval graph's csr window (0 = dense)
         self._eval_graph = None  # cached (graph, shard_size) for evaluate()
         self._eval_graph_key = None  # the GraphStore the cache was built from
 
@@ -469,11 +498,13 @@ class PartitionedTrainer:
 
     @staticmethod
     def _sharded_inputs(store: GraphStore, config: TrainConfig, mesh: Mesh,
-                        axis: str):
+                        axis: str, csr: bool = False):
         """Shared sharding front-end: node-sharded graph + fold table.
         Returns ``(graph, shard_size, steps_per_epoch, fold_ids_d, fold_w_d)``."""
+        from tpu_sage.dist.partition import shard_graph_csr
+
         cd = getattr(config, "compute_dtype", "float32")
-        graph, m = shard_graph(
+        graph, m = (shard_graph_csr if csr else shard_graph)(
             store, mesh, train=True, axis=axis,
             # match the single-device upload (trainer.py device_graph): dense
             # feature shards live in the compute dtype, so bf16 configs also
@@ -492,14 +523,18 @@ class PartitionedTrainer:
 
     @classmethod
     def from_store(
-        cls, store: GraphStore, config: TrainConfig, mesh: Mesh, axis: str = "data"
+        cls, store: GraphStore, config: TrainConfig, mesh: Mesh,
+        axis: str = "data", csr: bool = False,
     ) -> Tuple["PartitionedTrainer", DeviceGraph, jnp.ndarray, jnp.ndarray]:
-        """Build trainer + sharded graph + sharded fold table from a host store."""
+        """Build trainer + sharded graph + sharded fold table from a host
+        store. ``csr=True`` shards the adjacency as per-shard CSR blocks
+        (CSRShardedGraph — nnz-shaped HBM instead of m·max_degree)."""
         graph, m, steps_per_epoch, fold_ids_d, fold_w_d = cls._sharded_inputs(
-            store, config, mesh, axis
+            store, config, mesh, axis, csr=csr
         )
         model = build_model(config, store.n_nodes, store.n_classes)
-        trainer = cls(model, config, mesh, m, steps_per_epoch, task=store.task, axis=axis)
+        trainer = cls(model, config, mesh, m, steps_per_epoch, task=store.task,
+                      axis=axis, csr_window=getattr(graph, "window", 0))
         return trainer, graph, fold_ids_d, fold_w_d
 
     def init_state(self, feat_dim: int, key: Optional[jax.Array] = None) -> TrainState:
@@ -544,15 +579,18 @@ class PartitionedTrainer:
         gather_levels = self.gather_levels
         lrf = fanouts[-1] if gather_last is not None else None
         spe = self.steps_per_epoch
+        window = self.csr_window
         perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
 
-        def shard_step(params, opt_state, step, key, adj, deg, feats, fscale,
+        def shard_step(params, opt_state, step, key, adj_pack, feats, fscale,
                        targets, fold_ids, fold_w):
-            # locals: adj (m, D), deg (m,), feats (m, F), targets (m, ...),
-            # fold_ids (1, L), fold_w (1,) — fold_w is the true group count;
-            # fscale (F,) replicated dequant scales (ones when feats is dense)
+            # locals: adj_pack (dense (adj, deg) or CSR (indptr, indices,
+            # deg)), feats (m, F), targets (m, ...), fold_ids (1, L),
+            # fold_w (1,) — fold_w is the true group count; fscale (F,)
+            # replicated dequant scales (ones when feats is dense)
             my = lax.axis_index(axis)
-            m = adj.shape[0]
+            adj_deg, deg = build_adj_view(adj_pack, window)
+            m = deg.shape[0]
             offset = my * m
             k = jax.random.fold_in(jax.random.fold_in(key, step), my)
             _, k_sample = jax.random.split(k)
@@ -562,7 +600,6 @@ class PartitionedTrainer:
             tgt = targets[ids - offset]
             w = fold_w[0]
 
-            adj_deg = jnp.concatenate([adj, deg[:, None]], axis=1)
             # halo-gather raw stored rows (int8 when quantized — 4× fewer
             # ICI bytes than f32), dequantize at the requester
             dq = lambda rows: rows.astype(fscale.dtype) * fscale
@@ -601,7 +638,7 @@ class PartitionedTrainer:
         mapped = shard_map(
             shard_step,
             mesh=self.mesh,
-            in_specs=(rep, rep, rep, rep, shd, shd, shd, rep, shd, shd, shd),
+            in_specs=(rep, rep, rep, rep, shd, shd, rep, shd, shd, shd),
             out_specs=(rep, rep, rep, rep, rep, rep),
             check_vma=False,
         )
@@ -611,7 +648,7 @@ class PartitionedTrainer:
             new_key = jax.random.fold_in(state.key, state.step)
             params, opt_state, step, _, loss, ovf = mapped(
                 state.params, state.opt_state, state.step, state.key,
-                graph.adj, graph.degrees, graph.feats, graph.feat_scale,
+                adj_pack_of(graph), graph.feats, graph.feat_scale,
                 graph.targets, fold_ids, fold_w,
             )
             return (
@@ -640,14 +677,15 @@ class PartitionedTrainer:
         gather_levels = self.gather_levels
         lrf = fanouts[-1] if gather_last is not None else None
         spe = self.steps_per_epoch
+        window = self.csr_window
         perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
 
-        def shard_epoch(params, opt_state, step0, key, adj, deg, feats, fscale,
+        def shard_epoch(params, opt_state, step0, key, adj_pack, feats, fscale,
                         targets, fold_ids, fold_w):
             my = lax.axis_index(axis)
-            m = adj.shape[0]
+            adj_deg, deg = build_adj_view(adj_pack, window)
+            m = deg.shape[0]
             offset = my * m
-            adj_deg = jnp.concatenate([adj, deg[:, None]], axis=1)
             dq = lambda rows: rows.astype(fscale.dtype) * fscale
             w = fold_w[0]
             count = fold_w[0]
@@ -709,7 +747,7 @@ class PartitionedTrainer:
         mapped = shard_map(
             shard_epoch,
             mesh=self.mesh,
-            in_specs=(rep, rep, rep, rep, shd, shd, shd, rep, shd, shd, shd),
+            in_specs=(rep, rep, rep, rep, shd, shd, rep, shd, shd, shd),
             out_specs=(rep, rep, rep, rep, rep),
             check_vma=False,
         )
@@ -719,7 +757,7 @@ class PartitionedTrainer:
             new_key = jax.random.fold_in(state.key, state.step)
             params, opt_state, step, loss, ovf = mapped(
                 state.params, state.opt_state, state.step, state.key,
-                graph.adj, graph.degrees, graph.feats, graph.feat_scale,
+                adj_pack_of(graph), graph.feats, graph.feat_scale,
                 graph.targets, fold_ids, fold_w,
             )
             return (
@@ -739,7 +777,7 @@ class PartitionedTrainer:
         return self._epoch_fns[n](state, graph, fold_ids, fold_w)
 
 
-    def _make_eval(self, task: str):
+    def _make_eval(self, task: str, window: int):
         axis = self.axis
         fanouts = self.model.fanouts(train=False)
         model = self.model
@@ -749,12 +787,12 @@ class PartitionedTrainer:
         gather_levels = self.gather_levels
         lrf = fanouts[-1] if gather_last is not None else None
 
-        def shard_eval(params, key, adj, deg, feats, fscale, targets, ids, mask):
+        def shard_eval(params, key, adj_pack, feats, fscale, targets, ids, mask):
             # ids/mask local: (1, n_chunks, bps); targets local (m, ...)
             my = lax.axis_index(axis)
-            m = adj.shape[0]
+            adj_deg, deg = build_adj_view(adj_pack, window)
+            m = deg.shape[0]
             offset = my * m
-            adj_deg = jnp.concatenate([adj, deg[:, None]], axis=1)
             dq = lambda rows: rows.astype(fscale.dtype) * fscale
             key = jax.random.fold_in(key, my)
 
@@ -804,7 +842,7 @@ class PartitionedTrainer:
         mapped = shard_map(
             shard_eval,
             mesh=self.mesh,
-            in_specs=(rep, rep, shd, shd, shd, rep, shd, shd, shd),
+            in_specs=(rep, rep, shd, shd, rep, shd, shd, shd),
             out_specs=rep,
             check_vma=False,
         )
@@ -818,8 +856,11 @@ class PartitionedTrainer:
         would be unsafe because CPython reuses addresses of collected
         objects; pinning the store keeps the id meaningful."""
         if self._eval_graph is None or self._eval_graph_key is not store:
+            from tpu_sage.dist.partition import shard_graph_csr
+
             cd = getattr(self.config, "compute_dtype", "float32")
-            self._eval_graph = shard_graph(
+            shard_fn = shard_graph_csr if self.csr_window > 0 else shard_graph
+            self._eval_graph = shard_fn(
                 store, self.mesh, train=False, axis=self.axis,
                 feat_dtype=None if cd == "float32" else cd,
                 quantize=getattr(self.config, "feature_int8", False),
@@ -836,6 +877,12 @@ class PartitionedTrainer:
         from tpu_sage.nn.full_graph import embed_all_nodes_partitioned
         from tpu_sage.train.trainer import fold_metric_np
 
+        if self.csr_window > 0:
+            raise ValueError(
+                "evaluate_exact walks whole dense adjacency rows per chunk "
+                "(nn/full_graph) and is not formulated over CSR shards; use "
+                "sampled evaluate() or export from a dense-sharded graph"
+            )
         # multi-host-safe end to end: the eval-graph shard goes up through
         # put_sharded (each process contributes its shards) and the sharded
         # logits come back through fetch_replicated (jit-replicate, then a
@@ -870,13 +917,14 @@ class PartitionedTrainer:
         ids_d = put_sharded(ids3.astype(np.int32), self.mesh, P(self.axis))
         mask_d = put_sharded(mask3, self.mesh, P(self.axis))
 
-        if self._eval_fn is None:
-            self._eval_fn = self._make_eval(store.task)
+        ew = getattr(graph_full, "window", 0)
+        if self._eval_fns.get(ew) is None:
+            self._eval_fns[ew] = self._make_eval(store.task, ew)
         stats = np.asarray(
-            self._eval_fn(state.params, jax.random.key(seed),
-                          graph_full.adj, graph_full.degrees, graph_full.feats,
-                          graph_full.feat_scale, graph_full.targets,
-                          ids_d, mask_d)
+            self._eval_fns[ew](state.params, jax.random.key(seed),
+                               adj_pack_of(graph_full), graph_full.feats,
+                               graph_full.feat_scale, graph_full.targets,
+                               ids_d, mask_d)
         )
         if store.task == "classification":
             return float(stats[0] / max(stats[1], 1.0))
@@ -897,6 +945,7 @@ def fit_partitioned(
     eval_every_epoch: bool = True,
     resume_from: Optional[str] = None,
     checkpoint_every: int = 0,
+    csr: bool = False,
 ):
     """``fit()``-equivalent loop for the node-sharded multi-chip path.
 
@@ -921,11 +970,12 @@ def fit_partitioned(
                                            resume_state)
 
     trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(
-        store, config, mesh, axis=axis
+        store, config, mesh, axis=axis, csr=csr
     )
     tracker = BestTracker(config, resume_from, log)
     # one line naming the RESOLVED halo implementation (config may say "auto")
-    log({"n_shards": trainer.n_shards, "halo": trainer.halo_mode})
+    log({"n_shards": trainer.n_shards, "halo": trainer.halo_mode,
+         **({"csr_window": trainer.csr_window} if csr else {})})
 
     use_exact_val = False
     if getattr(config, "exact_val", False):
@@ -933,9 +983,9 @@ def fit_partitioned(
 
         # works cross-process too: evaluate_exact shards the eval graph via
         # put_sharded and fetches logits via fetch_replicated
-        use_exact_val = exact_supported(trainer.model)
+        use_exact_val = exact_supported(trainer.model) and not csr
         if not use_exact_val:
-            log({"note": "exact_val unsupported for this aggregator; "
+            log({"note": "exact_val unsupported for this aggregator/storage; "
                          "falling back to sampled validation"})
 
     def eval_fold(state, fold, seed, exact=True):

@@ -63,12 +63,14 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         steps_per_epoch: int,
         n_real_nodes: int,
         axis: str = "data",
+        csr_window: int = 0,
     ):
         super().__init__(model, config, mesh, shard_size, steps_per_epoch,
-                         task="classification", axis=axis)
+                         task="classification", axis=axis,
+                         csr_window=csr_window)
         self.unsup = unsup
         self.n_real_nodes = n_real_nodes
-        self._embed_fn = None
+        self._embed_fns = {}
 
     @classmethod
     def from_store(
@@ -78,16 +80,18 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         unsup: UnsupConfig,
         mesh: Mesh,
         axis: str = "data",
+        csr: bool = False,
     ) -> Tuple["PartitionedUnsupervisedTrainer", DeviceGraph, jnp.ndarray, jnp.ndarray]:
         from tpu_sage.train.unsupervised import unsup_gather_defaults
 
         config = unsup_gather_defaults(config)
         graph, m, steps_per_epoch, fold_ids_d, fold_w_d = cls._sharded_inputs(
-            store, config, mesh, axis
+            store, config, mesh, axis, csr=csr
         )
         model = build_model(config, store.n_nodes, max(store.n_classes, 2))
         trainer = cls(model, config, unsup, mesh, m, steps_per_epoch,
-                      n_real_nodes=store.n_nodes, axis=axis)
+                      n_real_nodes=store.n_nodes, axis=axis,
+                      csr_window=getattr(graph, "window", 0))
         return trainer, graph, fold_ids_d, fold_w_d
 
     def neg_logits(self, store: GraphStore) -> Optional[jnp.ndarray]:
@@ -96,12 +100,12 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         when the feature table is not."""
         if self.unsup.neg_power <= 0:
             return None
+        from tpu_sage.dist.partition import put_sharded
+
         logits = self.unsup.neg_power * np.log(
             np.maximum(store.degrees.astype(np.float64), 1.0)
         )
-        return jax.device_put(
-            jnp.asarray(logits, jnp.float32), NamedSharding(self.mesh, P())
-        )
+        return put_sharded(logits.astype(np.float32), self.mesh, P())
 
     # init_state inherited from PartitionedTrainer (replicated jit placement)
 
@@ -120,12 +124,15 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         wl = self.unsup.walk_length
         q = self.unsup.n_negatives
         n_real = self.n_real_nodes
+        window = self.csr_window
         perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
 
-        def shard_epoch(params, opt_state, step0, key, adj, deg, feats, fscale,
+        def shard_epoch(params, opt_state, step0, key, adj_pack, feats, fscale,
                         fold_ids, fold_w, neg_logits):
             my = lax.axis_index(axis)
-            adj_deg = jnp.concatenate([adj, deg[:, None]], axis=1)
+            from tpu_sage.dist.train import build_adj_view
+
+            adj_deg, _ = build_adj_view(adj_pack, window)
             # dequantize halo-gathered rows at the requester (fscale is ones
             # when feats is dense — see dist/partition.py shard_graph)
             dq = lambda rows: rows.astype(fscale.dtype) * fscale
@@ -208,7 +215,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         mapped = shard_map(
             shard_epoch,
             mesh=self.mesh,
-            in_specs=(rep, rep, rep, rep, shd, shd, shd, rep, shd, shd, rep),
+            in_specs=(rep, rep, rep, rep, shd, shd, rep, shd, shd, rep),
             out_specs=(rep, rep, rep, rep, rep),
             check_vma=False,
         )
@@ -216,10 +223,12 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         @partial(jax.jit, donate_argnums=(0,))
         def epoch_fn(state: TrainState, graph: DeviceGraph, fold_ids, fold_w,
                      neg_logits):
+            from tpu_sage.dist.train import adj_pack_of
+
             new_key = jax.random.fold_in(state.key, state.step)
             params, opt_state, step, loss, ovf = mapped(
                 state.params, state.opt_state, state.step, state.key,
-                graph.adj, graph.degrees, graph.feats, graph.feat_scale,
+                adj_pack_of(graph), graph.feats, graph.feat_scale,
                 fold_ids, fold_w, neg_logits,
             )
             return (
@@ -241,9 +250,9 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
             self._epoch_fns[sig] = self._make_epoch(*sig)
         if neg_logits is None:
             # placeholder scalar keeps the jit signature uniform
-            neg_logits = jax.device_put(
-                jnp.zeros((1,), jnp.float32), NamedSharding(self.mesh, P())
-            )
+            from tpu_sage.dist.partition import put_sharded
+
+            neg_logits = put_sharded(np.zeros((1,), np.float32), self.mesh, P())
         return self._epoch_fns[sig](state, graph, fold_ids, fold_w, neg_logits)
 
     def train_step(self, state, graph, fold_ids, fold_w,
@@ -254,7 +263,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
 
     # -- embeddings (downstream-probe protocol) -----------------------------
 
-    def _make_embed(self):
+    def _make_embed(self, window: int):
         axis = self.axis
         fanouts = self.model.fanouts(train=False)
         model = self.model
@@ -264,10 +273,12 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         gather_levels = self.gather_levels
         lrf = fanouts[-1] if gather_last is not None else None
 
-        def shard_embed(params, key, adj, deg, feats, fscale, ids):
+        def shard_embed(params, key, adj_pack, feats, fscale, ids):
             # ids local: (1, n_chunks, bps)
+            from tpu_sage.dist.train import build_adj_view
+
             my = lax.axis_index(axis)
-            adj_deg = jnp.concatenate([adj, deg[:, None]], axis=1)
+            adj_deg, _ = build_adj_view(adj_pack, window)
             dq = lambda rows: rows.astype(fscale.dtype) * fscale
             key = jax.random.fold_in(key, my)
 
@@ -298,7 +309,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         mapped = shard_map(
             shard_embed,
             mesh=self.mesh,
-            in_specs=(rep, rep, shd, shd, shd, rep, shd),
+            in_specs=(rep, rep, shd, shd, rep, shd),
             out_specs=shd,
             check_vma=False,
         )
@@ -321,12 +332,15 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
 
         tbl_d = put_sharded(tbl3.astype(np.int32), self.mesh, P(self.axis))
 
-        if self._embed_fn is None:
-            self._embed_fn = self._make_embed()
+        from tpu_sage.dist.train import adj_pack_of
+
+        ew = getattr(graph_full, "window", 0)
+        if self._embed_fns.get(ew) is None:
+            self._embed_fns[ew] = self._make_embed(ew)
         z = fetch_replicated(
-            self._embed_fn(state.params, jax.random.key(seed),
-                           graph_full.adj, graph_full.degrees,
-                           graph_full.feats, graph_full.feat_scale, tbl_d)
+            self._embed_fns[ew](state.params, jax.random.key(seed),
+                                adj_pack_of(graph_full),
+                                graph_full.feats, graph_full.feat_scale, tbl_d)
         )  # (n_shards, n_chunks, bps, D)
         z = z.reshape(self.n_shards, -1, z.shape[-1])
         # un-shard back to the caller's order: shard_fold_masked groups by
@@ -348,6 +362,7 @@ def fit_unsupervised_partitioned(
     resume_from: Optional[str] = None,
     checkpoint_every: int = 0,
     probe: bool = True,
+    csr: bool = False,
 ):
     """``fit_unsupervised`` for the node-sharded multi-chip path: per-epoch
     scanned NCE training, JSON loss line per epoch, periodic checkpoints,
@@ -373,7 +388,7 @@ def fit_unsupervised_partitioned(
     from tpu_sage.train.unsupervised import logistic_probe, resolve_probe_every
 
     trainer, graph, fold_ids, fold_w = PartitionedUnsupervisedTrainer.from_store(
-        store, config, unsup, mesh, axis=axis
+        store, config, unsup, mesh, axis=axis, csr=csr
     )
     neg_logits = trainer.neg_logits(store)
     state = trainer.init_state(feat_dim=store.feat_dim)

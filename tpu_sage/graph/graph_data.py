@@ -92,6 +92,39 @@ class CSRDeviceGraph:
         return self.feats.shape[1]
 
 
+@struct.dataclass
+class CSRShardedGraph:
+    """Node-sharded graph with CSR adjacency storage (round 4).
+
+    The partitioned-path sibling of :class:`CSRDeviceGraph`: per-node arrays
+    are sharded over the mesh axis exactly like :class:`DeviceGraph` from
+    ``dist.partition.shard_graph``, but each shard's adjacency lives as its
+    own CSR block — ``indptr`` is the per-shard row starts concatenated
+    (``n_shards·(m+1)`` entries, each shard's block indexing its own
+    ``indices`` rows) and ``indices`` is the per-shard 2-D window view
+    (``n_shards·r`` rows of ``window``), padded to the largest shard. The
+    halo exchange materializes adjacency rows on demand through
+    ``dist.halo.CSRAdjRows`` — same collectives, same bytes on the wire,
+    ``nnz``-shaped HBM instead of ``m·max_degree`` per shard.
+    """
+
+    indptr: jnp.ndarray    # (n_shards*(m+1),) int32 — per-shard local starts
+    indices: jnp.ndarray   # (n_shards*r, window) int32 — per-shard blocks
+    degrees: jnp.ndarray   # (n_shards*m,) int32
+    feats: jnp.ndarray     # (n_shards*m, feat_dim)
+    targets: jnp.ndarray
+    feat_scale: Optional[jnp.ndarray] = None
+    window: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def n_nodes(self) -> int:
+        return self.degrees.shape[0]
+
+    @property
+    def feat_dim(self) -> int:
+        return self.feats.shape[1]
+
+
 def build_padded_adjacency(
     edges: np.ndarray,
     n_nodes: int,
