@@ -57,3 +57,11 @@ echo "== hierarchical (host, chip) halo on a 2-D mesh =="
 python -m tpu_sage.cli --problem-path "$OUT/problem.h5" \
   --aggregator-class mean --n-train-samples 10,5 --n-val-samples 10,5 \
   --batch-size 256 --epochs 2 --partitioned --halo hier2d
+
+echo "== memory-lean CSR adjacency: single-device and partitioned =="
+python -m tpu_sage.cli --problem-path "$OUT/problem.h5" \
+  --aggregator-class mean --n-train-samples 10,5 --n-val-samples 10,5 \
+  --batch-size 256 --epochs 2 --csr-adjacency
+python -m tpu_sage.cli --problem-path "$OUT/problem.h5" \
+  --aggregator-class mean --n-train-samples 10,5 --n-val-samples 10,5 \
+  --batch-size 256 --epochs 2 --csr-adjacency --partitioned
