@@ -57,7 +57,10 @@ def main():
     plat = jax.devices()[0].platform
     print(json.dumps({"platform": plat}), flush=True)
     interp = plat == "cpu"  # CPU backend only supports interpret mode
-    if not interp and not kernels.probe():
+    # SKIP_PROBE=1: the caller just probed — the axon window can close within
+    # a minute, so don't spend it re-probing (the run stays under timeout)
+    if (not interp and os.environ.get("SKIP_PROBE") != "1"
+            and not kernels.probe()):
         print(json.dumps({"error": "pallas probe failed"}), flush=True)
         return 1
 

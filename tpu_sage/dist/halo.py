@@ -98,6 +98,43 @@ class CSRAdjRows:
         return out.reshape(shape + (self.window + 1,))
 
 
+class CSRPairRows(CSRAdjRows):
+    """The SHIPPED CSR adjacency view: raw ``lo‖hi‖off‖deg`` pair rows,
+    ``(m, 2·window + 2)``.
+
+    :class:`CSRAdjRows` aligns each row at the owner with a full
+    ``window``-wide shift select — N·window·2window compare-selects per
+    exchange, which measured +48% whole-step over dense-sharded at the
+    headline graph (bench_logs/r4_csr_partitioned.log: 3.471 vs 2.347
+    ms/step). The requester only ever reads ``fanout ≪ window`` columns, so
+    shipping the two UNALIGNED covering rows plus the offset and degree and
+    selecting ``off + col`` at the requester cuts the select work
+    ``window/fanout``× (≈13× at (25,10)). Costs 2× the adjacency-exchange
+    row width on the wire — the small exchange next to features.
+    ``sample_level_distributed`` consumes the layout via ``pair_window``.
+    """
+
+    @property
+    def shape(self):
+        return (self.degrees.shape[0], 2 * self.window + 2)
+
+    def __getitem__(self, idx):
+        from tpu_sage.ops import row_gather_chunked
+
+        shape = jnp.shape(idx)
+        flat = jnp.reshape(idx, (-1,)).astype(jnp.int32)
+        start = row_gather_chunked(self.indptr, flat)
+        q, off = jnp.divmod(start, self.window)
+        deg = row_gather_chunked(self.degrees, flat)
+        out = jnp.concatenate(
+            [row_gather_chunked(self.indices, q),
+             row_gather_chunked(self.indices, q + 1),
+             off[:, None].astype(jnp.int32), deg[:, None].astype(jnp.int32)],
+            axis=1,
+        )                                                   # (N, 2w+2)
+        return out.reshape(shape + (2 * self.window + 2,))
+
+
 def dist_gather(
     local_table: jnp.ndarray,  # (m, d) rows owned by this shard
     ids: jnp.ndarray,          # (q,) GLOBAL ids queried by this shard

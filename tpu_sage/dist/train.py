@@ -118,17 +118,19 @@ def adj_pack_of(graph):
 
 
 def build_adj_view(adj_pack, window: int):
-    """``(adjacency‖degree table, degrees)`` from the packed shard-local
-    arrays. ``window`` > 0 selects the CSR virtual table
-    (``halo.CSRAdjRows`` — rows materialized on demand by the two-row window
-    hop); 0 the dense concatenated table. Row CONTENTS are identical in
-    every slot the sampler reads, so the halo formulations and sampling math
-    are shared bit-for-bit between the storages."""
+    """``(adjacency table view, degrees)`` from the packed shard-local
+    arrays. ``window`` > 0 selects the CSR virtual PAIR table
+    (``halo.CSRPairRows`` — unaligned ``lo‖hi‖off‖deg`` rows, the requester
+    selects ``off + col``); 0 the dense ``adj‖deg`` table. Sampled VALUES
+    are identical between the storages (same uniforms → same columns → same
+    ``indices[start + col]`` reads), so the halo formulations and sampling
+    math stay shared bit-for-bit; callers pass ``pair_window=window`` to
+    ``sample_level_distributed`` so it decodes the layout."""
     if window > 0:
         indptr, indices, deg = adj_pack
-        from tpu_sage.dist.halo import CSRAdjRows
+        from tpu_sage.dist.halo import CSRPairRows
 
-        return CSRAdjRows(indptr, indices, deg, window), deg
+        return CSRPairRows(indptr, indices, deg, window), deg
     adj, deg = adj_pack
     return jnp.concatenate([adj, deg[:, None]], axis=1), deg
 
@@ -391,26 +393,38 @@ def epoch_batch_ids(
 
 def sample_level_distributed(
     key: jax.Array,
-    adj_deg: jnp.ndarray,   # (m, max_degree+1) local rows: adj ‖ degree
+    adj_deg: jnp.ndarray,   # (m, max_degree+1) local rows: adj ‖ degree —
+    # or a CSR pair view (m, 2·window+2): lo‖hi‖off‖deg (pair_window > 0)
     ids: jnp.ndarray,       # (cur,) global frontier ids on this shard
     fanout: int,
     axis: str,
     gather=None,
+    pair_window: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One sampling hop with remote adjacency rows fetched by halo exchange.
 
     Returns ``(neighbor_ids, n_overflow)`` — overflow per the gather's
-    ``(rows, count)`` contract (0 for exact/ring halo modes)."""
+    ``(rows, count)`` contract (0 for exact/ring halo modes). With
+    ``pair_window`` the exchanged rows carry the CSR pair layout and the
+    column select shifts by the row's offset (values identical to dense)."""
+    from tpu_sage.sample.sampler import select_columns
+
     if gather is None:
         gather = lambda t, i, a: (dist_gather(t, i, a), _no_overflow())
-    rows, ovf = gather(adj_deg, ids, axis)            # (cur, max_degree+1)
-    r_adj, r_deg = rows[:, :-1], rows[:, -1]
+    rows, ovf = gather(adj_deg, ids, axis)            # (cur, width)
+    if pair_window:
+        r_adj = rows[:, : 2 * pair_window]
+        shift = rows[:, 2 * pair_window]
+        r_deg = rows[:, 2 * pair_window + 1]
+    else:
+        r_adj, r_deg = rows[:, :-1], rows[:, -1]
+        shift = None
     deg = jnp.maximum(r_deg, 1)
     u = jax.random.uniform(key, (ids.shape[0], fanout))
     cols = jnp.minimum((u * deg[:, None].astype(u.dtype)).astype(jnp.int32),
                        deg[:, None] - 1)
-    from tpu_sage.sample.sampler import select_columns
-
+    if shift is not None:
+        cols = shift[:, None] + cols
     nbr = select_columns(r_adj, cols)  # vectorized; avoids TPU element gather
     # degree-0 rows (padding nodes) self-loop, matching single-device semantics
     nbr = jnp.where(r_deg[:, None] == 0, ids[:, None], nbr)
@@ -609,7 +623,8 @@ class PartitionedTrainer:
                 ks = jax.random.split(k_sample, len(fanouts))
                 for i, f in enumerate(fanouts):
                     nbr, o = sample_level_distributed(
-                        ks[i], adj_deg, levels[-1], f, axis, gather
+                        ks[i], adj_deg, levels[-1], f, axis, gather,
+                        pair_window=window,
                     )
                     levels.append(nbr)
                     ovf = ovf + o
@@ -714,7 +729,8 @@ class PartitionedTrainer:
                     ks = jax.random.split(k_sample, len(fanouts))
                     for i, f in enumerate(fanouts):
                         nbr, o = sample_level_distributed(
-                            ks[i], adj_deg, levels[-1], f, axis, gather
+                            ks[i], adj_deg, levels[-1], f, axis, gather,
+                            pair_window=window,
                         )
                         levels.append(nbr)
                         ovf = ovf + o
@@ -804,7 +820,8 @@ class PartitionedTrainer:
                 for i, f in enumerate(fanouts):
                     levels.append(
                         sample_level_distributed(
-                            ks[i], adj_deg, levels[-1], f, axis, gather
+                            ks[i], adj_deg, levels[-1], f, axis, gather,
+                            pair_window=window,
                         )[0]
                     )
                 level_feats, _ = gather_level_feats(

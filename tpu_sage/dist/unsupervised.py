@@ -158,7 +158,8 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                 pos, walk_ovf = ids, jnp.zeros((), jnp.int32)
                 for hop_key in jax.random.split(k_walk, wl):
                     pos, o = sample_level_distributed(
-                        hop_key, adj_deg, pos, 1, axis, gather
+                        hop_key, adj_deg, pos, 1, axis, gather,
+                        pair_window=window,
                     )
                     walk_ovf = walk_ovf + o
                 # negatives: global range, uniform or degree-smoothed
@@ -178,7 +179,8 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                     ks = jax.random.split(k_tree, len(fanouts))
                     for i, f in enumerate(fanouts):
                         nbr, o = sample_level_distributed(
-                            ks[i], adj_deg, levels[-1], f, axis, gather
+                            ks[i], adj_deg, levels[-1], f, axis, gather,
+                            pair_window=window,
                         )
                         levels.append(nbr)
                         ovf = ovf + o
@@ -289,7 +291,8 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                 for i, f in enumerate(fanouts):
                     levels.append(
                         sample_level_distributed(
-                            ks[i], adj_deg, levels[-1], f, axis, gather
+                            ks[i], adj_deg, levels[-1], f, axis, gather,
+                            pair_window=window,
                         )[0]
                     )
                 level_feats, _ = gather_level_feats(
