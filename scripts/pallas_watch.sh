@@ -11,7 +11,7 @@ for i in $(seq 1 "$MAX_POLLS"); do
     echo "window open at poll $i $(date -u +%FT%TZ)" | tee -a "$LOG/r4_queue.log"
     SKIP_PROBE=1 timeout 2400 python scripts/bench_kernels.py > "$LOG/r4_kernels.log" 2>&1
     echo "kernels exit=$? (poll $i)" | tee -a "$LOG/r4_queue.log"
-    if grep -q "gather_fanout_mean" "$LOG/r4_kernels.log"; then
+    if grep -q '"op": "gather_fanout_mean"' "$LOG/r4_kernels.log"; then
       exit 0
     fi
   fi

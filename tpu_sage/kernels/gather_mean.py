@@ -56,9 +56,17 @@ def _kernel(ids_ref, table_ref, o_ref, scratch, sem, *,
 
     x = scratch[:]                                     # (nrows, d_store)
     if bf16:
-        x = jax.lax.bitcast_convert_type(
-            x.reshape(nrows, x.shape[1], 1), jnp.bfloat16
-        ).reshape(nrows, d)
+        # Mosaic rejects bitwidth-CHANGING bitcasts (measured round 4,
+        # bench_logs/r4_kernels.log), so reinterpret each int32 as its two
+        # packed bf16 lanes via truncating converts (value-preserving for
+        # 16-bit patterns) + SAME-width uint16→bf16 bitcasts
+        lo = jax.lax.bitcast_convert_type(
+            (x & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+        )
+        hi = jax.lax.bitcast_convert_type(
+            ((x >> 16) & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+        )
+        x = jnp.stack([lo, hi], axis=-1).reshape(nrows, d)
     acc = jnp.mean(
         x.reshape(tile_r, fanout, d).astype(jnp.float32), axis=1
     )                                                  # f32 acc (Mosaic req)
