@@ -83,8 +83,10 @@ def test_partitioned_csr_bitwise_matches_dense(mesh, store, halo):
 
 
 def test_fit_partitioned_csr_end_to_end(mesh, store):
-    """fit_partitioned(csr=True): scanned epochs, sampled eval on the CSR
-    full graph, exact_val falls back with a note."""
+    """fit_partitioned(csr=True) with exact_val: scanned epochs over CSR
+    shards, exact layer-wise validation on DENSIFIED eval shards (round-4:
+    the single-device densify-at-eval contract, sharded) — the reported
+    metric equals evaluate_exact recomputed from the returned state."""
     cfg = TrainConfig(batch_size=32, epochs=3, n_train_samples=(4, 3),
                       n_val_samples=(4, 3), output_dims=(16, 16),
                       lr_init=0.01, exact_val=True)
@@ -94,10 +96,9 @@ def test_fit_partitioned_csr_end_to_end(mesh, store):
     assert hist[-1]["train_loss"] < hist[0]["train_loss"]
     assert all("val_metric" in h for h in hist)
     assert hist[-1]["val_metric"] > 0.5
-    assert any("falling back" in str(r.get("note", "")) for r in recs)
+    assert any("densifies" in str(r.get("note", "")) for r in recs)
     assert any(r.get("csr_window") for r in recs)
-    with pytest.raises(ValueError, match="CSR"):
-        trainer.evaluate_exact(state, store)
+    assert trainer.evaluate_exact(state, store) == hist[-1]["val_metric"]
 
 
 def test_fit_unsupervised_partitioned_csr(mesh, store):

@@ -885,6 +885,22 @@ class PartitionedTrainer:
             self._eval_graph_key = store
         return self._eval_graph
 
+    def _dense_eval_graph_shard(self, store: GraphStore):
+        """DENSE-sharded full graph for exact layer-wise eval when training
+        storage is CSR (the single-device densify-at-eval contract: the exact
+        pass walks whole adjacency rows; the dense table is sharded over the
+        mesh, so per-chip cost is m·max_degree — n_shards× less than the
+        single-device densify)."""
+        if getattr(self, "_dense_eval_graph_key", None) is not store:
+            cd = getattr(self.config, "compute_dtype", "float32")
+            self._dense_eval_graph = shard_graph(
+                store, self.mesh, train=False, axis=self.axis,
+                feat_dtype=None if cd == "float32" else cd,
+                quantize=getattr(self.config, "feature_int8", False),
+            )
+            self._dense_eval_graph_key = store
+        return self._dense_eval_graph
+
     def evaluate_exact(self, state, store: GraphStore, fold: str = "val") -> float:
         """Variance-free fold metric via SHARDED exact layer-wise inference
         (nn/full_graph.embed_all_nodes_partitioned) — the serving-mode
@@ -894,17 +910,16 @@ class PartitionedTrainer:
         from tpu_sage.nn.full_graph import embed_all_nodes_partitioned
         from tpu_sage.train.trainer import fold_metric_np
 
-        if self.csr_window > 0:
-            raise ValueError(
-                "evaluate_exact walks whole dense adjacency rows per chunk "
-                "(nn/full_graph) and is not formulated over CSR shards; use "
-                "sampled evaluate() or export from a dense-sharded graph"
-            )
         # multi-host-safe end to end: the eval-graph shard goes up through
         # put_sharded (each process contributes its shards) and the sharded
         # logits come back through fetch_replicated (jit-replicate, then a
-        # host copy every process can take) — no hand-assembly required
-        graph_full, _ = self._full_graph_shard(store)
+        # host copy every process can take) — no hand-assembly required.
+        # CSR training storage densifies the EVAL graph only (the exact pass
+        # walks whole adjacency rows; sharded, so m·max_degree per chip)
+        if self.csr_window > 0:
+            graph_full, _ = self._dense_eval_graph_shard(store)
+        else:
+            graph_full, _ = self._full_graph_shard(store)
         logits = fetch_replicated(
             embed_all_nodes_partitioned(
                 self.model, state.params, graph_full, self.mesh,
@@ -1000,10 +1015,13 @@ def fit_partitioned(
 
         # works cross-process too: evaluate_exact shards the eval graph via
         # put_sharded and fetches logits via fetch_replicated
-        use_exact_val = exact_supported(trainer.model) and not csr
+        use_exact_val = exact_supported(trainer.model)
         if not use_exact_val:
-            log({"note": "exact_val unsupported for this aggregator/storage; "
+            log({"note": "exact_val unsupported for this aggregator; "
                          "falling back to sampled validation"})
+        elif csr:
+            log({"note": "exact_val densifies the EVAL graph shards "
+                         "(m*max_degree per chip; training stays CSR)"})
 
     def eval_fold(state, fold, seed, exact=True):
         if use_exact_val and exact:
