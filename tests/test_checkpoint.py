@@ -81,3 +81,41 @@ def test_checkpoint_shape_mismatch_raises(tmp_path):
         assert False, "expected shape mismatch error"
     except ValueError as e:
         assert "mismatch" in str(e)
+
+
+def test_resumed_save_best_does_not_clobber_best(tmp_path):
+    """Round-4 review finding: a resumed save_best run must compare against
+    the metric the best file already holds — BestTracker re-seeds from the
+    recorded __best_metric__, so a worse post-resume epoch does NOT
+    overwrite the best checkpoint."""
+    from tpu_sage.data.synthetic import sbm_problem
+    from tpu_sage.train.checkpoint import (BestTracker, checkpoint_step,
+                                           read_best_metric, save_checkpoint)
+    from tpu_sage.train.trainer import TrainConfig, Trainer, build_model
+
+    problem = sbm_problem(n_nodes=120, n_classes=3, feat_dim=8, seed=71)
+    cfg = TrainConfig(batch_size=32, epochs=1, n_train_samples=(3, 2),
+                      n_val_samples=(3, 2), output_dims=(8, 8),
+                      save_best=True)
+    model = build_model(cfg, problem.n_nodes, problem.n_classes)
+    trainer = Trainer(model, cfg, 1, task=problem.task)
+    graph = problem.device_graph(train=True)
+    state = trainer.init_state(graph)
+
+    ck = str(tmp_path / "best.npz")
+    recs = []
+    t1 = BestTracker(cfg, ck, recs.append)
+    t1.update(0.95, state)                      # best written at step 0
+    assert read_best_metric(ck) == 0.95
+    best_step = checkpoint_step(ck)
+
+    # "resume": a fresh tracker seeds from the stored metric
+    t2 = BestTracker(cfg, ck, recs.append)
+    assert t2.best == 0.95
+    state2 = state.replace(step=state.step + 7)
+    t2.update(0.80, state2)                      # worse — must NOT write
+    assert read_best_metric(ck) == 0.95
+    assert checkpoint_step(ck) == best_step
+    t2.update(0.97, state2)                      # better — must write
+    assert read_best_metric(ck) == 0.97
+    assert checkpoint_step(ck) == best_step + 7

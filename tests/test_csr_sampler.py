@@ -109,11 +109,11 @@ def test_csr_window_hop_bitwise_matches_element_hop():
 
     store = sbm_store(n_nodes=400, n_classes=3, feat_dim=8, avg_degree=7,
                       seed=31)
+    from tpu_sage.sample.csr import pad_indices_for_window
+
     indptr, indices = csr_from_padded(store.adj, store.degrees)
     window = max(1, int(store.degrees.max()))
-    pad = (-len(indices)) % window + 2 * window
-    indices_pad = jnp.asarray(
-        np.concatenate([indices, np.zeros(pad, np.int32)]))
+    indices_pad = jnp.asarray(pad_indices_for_window(indices, window))
     indptr_d = jnp.asarray(indptr)
     deg_d = jnp.asarray(store.degrees, jnp.int32)
     ids = jnp.asarray(np.arange(0, 400, 3), jnp.int32)
@@ -133,11 +133,11 @@ def test_csr_window_covers_isolated_and_tail_nodes():
 
     edges = np.array([[0, 1], [1, 2], [3, 0]])
     adj, deg = build_padded_adjacency(edges, 5, max_degree=4)
+    from tpu_sage.sample.csr import pad_indices_for_window
+
     indptr, indices = csr_from_padded(adj, deg)
     window = max(1, int(deg.max()))
-    pad = (-len(indices)) % window + 2 * window
-    indices_pad = jnp.asarray(
-        np.concatenate([indices, np.zeros(pad, np.int32)]))
+    indices_pad = jnp.asarray(pad_indices_for_window(indices, window))
     out = np.asarray(uniform_neighbor_sample_csr_window(
         jax.random.key(0), jnp.asarray(indptr), indices_pad,
         jnp.asarray(deg, jnp.int32), jnp.asarray([3, 4], jnp.int32), 5,
@@ -158,8 +158,11 @@ def test_fit_with_csr_window_default():
     problem = NodeProblem(store)
     graph = problem.device_graph(train=True, csr=True)
     assert graph.window == int(store.train_degrees.max())
+    from tpu_sage.sample.csr import pad_indices_for_window
+
     nnz = int(store.train_degrees.sum())
-    assert graph.indices.shape[0] == nnz + (-nnz) % graph.window + 2 * graph.window
+    assert graph.indices.shape[0] == len(
+        pad_indices_for_window(np.zeros(nnz, np.int32), graph.window))
     assert graph.indices.shape[0] % graph.window == 0
     cfg = TrainConfig(batch_size=64, epochs=3, n_train_samples=(5, 3),
                       n_val_samples=(5, 3), output_dims=(16, 16), lr_init=0.01)

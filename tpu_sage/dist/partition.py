@@ -236,6 +236,19 @@ def partition_arrays(
     return arrays, m
 
 
+def _put_features(feats: np.ndarray, put, putr, quantize: bool, feat_dtype):
+    """Shared feature upload for the dense/CSR shard builders: dense in the
+    compute dtype, or int8 + a replicated per-column scale vector. Returns
+    ``(feats_dev, feat_scale)``."""
+    if quantize:
+        from tpu_sage.data.quantize import quantize_np
+
+        q, scale = quantize_np(feats)
+        return put(q), putr(scale.astype(feat_dtype or np.float32))
+    feats_dev = put(feats.astype(feat_dtype or np.float32))
+    return feats_dev, putr(np.ones((feats_dev.shape[1],), feats_dev.dtype))
+
+
 def shard_graph(
     store: GraphStore, mesh: Mesh, train: bool, axis: str = "data",
     feat_dtype=None, quantize: bool = False,
@@ -258,17 +271,8 @@ def shard_graph(
     # process contributes its addressable shards from the replicated store)
     put = lambda x: put_sharded(np.asarray(x), mesh, P(axis))
     putr = lambda x: put_sharded(np.asarray(x), mesh, P())
-    if quantize:
-        from tpu_sage.data.quantize import quantize_np
-
-        q, scale = quantize_np(arrays["feats"])
-        feats_dev = put(q)
-        feat_scale = putr(scale.astype(feat_dtype or np.float32))
-    else:
-        feats_dev = put(arrays["feats"].astype(feat_dtype or np.float32))
-        feat_scale = putr(
-            np.ones((feats_dev.shape[1],), feats_dev.dtype)
-        )
+    feats_dev, feat_scale = _put_features(arrays["feats"], put, putr,
+                                          quantize, feat_dtype)
     graph = DeviceGraph(
         adj=put(arrays["adj"]),
         degrees=put(arrays["degrees"]),
@@ -296,7 +300,7 @@ def partition_csr_arrays(
     (front a ``degree_balanced_permutation`` to shrink that padding on
     skewed graphs). Returns ``(arrays, m, window)``.
     """
-    from tpu_sage.sample.csr import csr_from_padded
+    from tpu_sage.sample.csr import csr_from_padded, pad_indices_for_window
 
     arrays, m = partition_arrays(store, n_shards, train)
     adj, deg = arrays["adj"], arrays["degrees"]
@@ -304,9 +308,7 @@ def partition_csr_arrays(
     indptrs, blocks = [], []
     for s in range(n_shards):
         ip, ind = csr_from_padded(adj[s * m:(s + 1) * m], deg[s * m:(s + 1) * m])
-        pad = (-len(ind)) % window + 2 * window
-        blocks.append(np.concatenate([ind, np.zeros(pad, np.int32)])
-                      .reshape(-1, window))
+        blocks.append(pad_indices_for_window(ind, window).reshape(-1, window))
         indptrs.append(ip)
     r_max = max(b.shape[0] for b in blocks)
     blocks = [np.concatenate([b, np.zeros((r_max - b.shape[0], window),
@@ -333,15 +335,8 @@ def shard_graph_csr(
     arrays, m, window = partition_csr_arrays(store, n_shards, train)
     put = lambda x: put_sharded(np.asarray(x), mesh, P(axis))
     putr = lambda x: put_sharded(np.asarray(x), mesh, P())
-    if quantize:
-        from tpu_sage.data.quantize import quantize_np
-
-        q, scale = quantize_np(arrays["feats"])
-        feats_dev = put(q)
-        feat_scale = putr(scale.astype(feat_dtype or np.float32))
-    else:
-        feats_dev = put(arrays["feats"].astype(feat_dtype or np.float32))
-        feat_scale = putr(np.ones((feats_dev.shape[1],), feats_dev.dtype))
+    feats_dev, feat_scale = _put_features(arrays["feats"], put, putr,
+                                          quantize, feat_dtype)
     graph = CSRShardedGraph(
         indptr=put(arrays["indptr"]),
         indices=put(arrays["indices"]),

@@ -507,6 +507,11 @@ class PartitionedTrainer:
         self._eval_fns = {}  # keyed on the eval graph's csr window (0 = dense)
         self._eval_graph = None  # cached (graph, shard_size) for evaluate()
         self._eval_graph_key = None  # the GraphStore the cache was built from
+        self._eval_graph_kind = None  # "dense" | "csr" — single slot
+        self._eval_dense_only = False  # sticky: once exact eval runs on a
+        # CSR trainer, ALL evals ride the dense eval shard (sampled eval
+        # works on it too) — otherwise alternating exact/sampled epochs
+        # would keep a third full feature table resident
 
     # -- construction helpers ----------------------------------------------
 
@@ -872,34 +877,22 @@ class PartitionedTrainer:
         reference to the store object (``is`` comparison) — a bare ``id()``
         would be unsafe because CPython reuses addresses of collected
         objects; pinning the store keeps the id meaningful."""
-        if self._eval_graph is None or self._eval_graph_key is not store:
-            from tpu_sage.dist.partition import shard_graph_csr
+        from tpu_sage.dist.partition import shard_graph_csr
 
+        want_dense = self.csr_window == 0 or self._eval_dense_only
+        kind = "dense" if want_dense else "csr"
+        if (self._eval_graph is None or self._eval_graph_key is not store
+                or self._eval_graph_kind != kind):
             cd = getattr(self.config, "compute_dtype", "float32")
-            shard_fn = shard_graph_csr if self.csr_window > 0 else shard_graph
+            shard_fn = shard_graph if want_dense else shard_graph_csr
             self._eval_graph = shard_fn(
                 store, self.mesh, train=False, axis=self.axis,
                 feat_dtype=None if cd == "float32" else cd,
                 quantize=getattr(self.config, "feature_int8", False),
             )
             self._eval_graph_key = store
+            self._eval_graph_kind = kind
         return self._eval_graph
-
-    def _dense_eval_graph_shard(self, store: GraphStore):
-        """DENSE-sharded full graph for exact layer-wise eval when training
-        storage is CSR (the single-device densify-at-eval contract: the exact
-        pass walks whole adjacency rows; the dense table is sharded over the
-        mesh, so per-chip cost is m·max_degree — n_shards× less than the
-        single-device densify)."""
-        if getattr(self, "_dense_eval_graph_key", None) is not store:
-            cd = getattr(self.config, "compute_dtype", "float32")
-            self._dense_eval_graph = shard_graph(
-                store, self.mesh, train=False, axis=self.axis,
-                feat_dtype=None if cd == "float32" else cd,
-                quantize=getattr(self.config, "feature_int8", False),
-            )
-            self._dense_eval_graph_key = store
-        return self._dense_eval_graph
 
     def evaluate_exact(self, state, store: GraphStore, fold: str = "val") -> float:
         """Variance-free fold metric via SHARDED exact layer-wise inference
@@ -915,11 +908,11 @@ class PartitionedTrainer:
         # logits come back through fetch_replicated (jit-replicate, then a
         # host copy every process can take) — no hand-assembly required.
         # CSR training storage densifies the EVAL graph only (the exact pass
-        # walks whole adjacency rows; sharded, so m·max_degree per chip)
-        if self.csr_window > 0:
-            graph_full, _ = self._dense_eval_graph_shard(store)
-        else:
-            graph_full, _ = self._full_graph_shard(store)
+        # walks whole adjacency rows; sharded, so m·max_degree per chip);
+        # sticky, so subsequent sampled evals reuse the same dense shard
+        # instead of keeping a third full feature table resident
+        self._eval_dense_only = True
+        graph_full, _ = self._full_graph_shard(store)
         logits = fetch_replicated(
             embed_all_nodes_partitioned(
                 self.model, state.params, graph_full, self.mesh,
@@ -1051,19 +1044,20 @@ def fit_partitioned(
             # under-capacity run silently degrades quality (overflowed
             # queries got fallback rows) — the count must be in the log
             rec["halo_overflow"] = int(m["halo_overflow"])
+        exact_now = exact_this_epoch(epoch)
         if eval_every_epoch and len(store.folds["val"]):
             rec["val_metric"] = eval_fold(state, "val", config.seed + 1,
-                                          exact=exact_this_epoch(epoch))
+                                          exact=exact_now)
         history.append(rec)
         log(rec)
-        # same two-file contract as trainer.fit: save_best owns resume_from,
-        # periodic checkpoints go to the .last sibling
-        periodic_path = (resume_from + ".last"
-                         if (getattr(config, "save_best", False) and resume_from)
-                         else resume_from)
-        maybe_checkpoint(state, periodic_path, checkpoint_every, epoch, log,
+        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
                          config=config)
-        if tracker.update(rec.get("val_metric"), state):
+        # exact_val_every>1: the tracker compares exact epochs only (see
+        # trainer.fit — mixing sampled and exact metric streams poisons
+        # save_best/patience on the serving metric)
+        tracked = rec.get("val_metric") if (not use_exact_val or exact_now) \
+            else None
+        if tracker.update(tracked, state):
             break
     if eval_every_epoch and len(store.folds.get("test", [])):
         log({"final_test_metric": eval_fold(state, "test", config.seed + 2)})

@@ -428,10 +428,7 @@ def fit_unsupervised_partitioned(
                 rec["probe_val_accuracy"] = acc
         history.append(rec)
         log(rec)
-        periodic_path = (resume_from + ".last"
-                         if (getattr(config, "save_best", False) and resume_from)
-                         else resume_from)
-        maybe_checkpoint(state, periodic_path, checkpoint_every, epoch, log,
+        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
                          config=config)
         if tracker.update(acc, state):
             break
@@ -440,4 +437,6 @@ def fit_unsupervised_partitioned(
         if acc is not None:
             history[-1]["probe_val_accuracy"] = acc
             log({"probe_val_accuracy": acc})
+            # final probe participates in best tracking (see fit_unsupervised)
+            tracker.update(acc, state)
     return trainer, state, history

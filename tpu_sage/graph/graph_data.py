@@ -244,15 +244,15 @@ class GraphStore:
         """CSR upload: ``nnz`` ids in HBM instead of ``n·max_degree``."""
         from tpu_sage.sample.csr import csr_from_padded
 
+        from tpu_sage.sample.csr import pad_indices_for_window
+
         adj = self.train_adj if train else self.adj
         deg = self.train_degrees if train else self.degrees
         indptr, indices = csr_from_padded(adj, deg)
         # window-gather hop (sample/csr.py): the flat indices view as a 2-D
-        # (m, window) table with window ≥ the true max degree; pad to a row
-        # multiple PLUS two spare rows so every node's two-row span exists
+        # (m, window) table with window ≥ the true max degree
         window = max(1, int(deg.max())) if len(deg) else 1
-        pad = (-len(indices)) % window + 2 * window
-        indices = np.concatenate([indices, np.zeros(pad, np.int32)])
+        indices = pad_indices_for_window(indices, window)
         if self.task == "classification":
             targets = jnp.asarray(self.targets, dtype=jnp.int32)
         else:

@@ -82,8 +82,14 @@ def gather_fanout_mean(
 ) -> jnp.ndarray:
     """(R, d) f32 per-root means of gathered rows, single HBM pass."""
     n, d = table.shape
+    if ids.shape[0] % fanout:
+        raise ValueError(
+            f"ids length {ids.shape[0]} is not a multiple of fanout {fanout}"
+        )
     r = ids.shape[0] // fanout
     bf16 = table.dtype == jnp.bfloat16
+    if bf16 and d % 2:
+        raise ValueError(f"bf16 tables need an even row width, got {d}")
     if bf16:
         table = bitcast_table_i32(table)               # (n, d//2) int32
     d_store = table.shape[1]

@@ -43,6 +43,18 @@ def csr_from_padded(
     return indptr.astype(np.int32), indices
 
 
+def pad_indices_for_window(indices: np.ndarray, window: int) -> np.ndarray:
+    """Pad flat CSR indices to a ``window`` row-multiple PLUS two spare rows
+    — the coverage invariant of the two-row window hop (every row span
+    ``[indptr[i], indptr[i] + window)`` must land inside the 2-D
+    ``(m, window)`` view, including the last real row's ``q + 1`` access).
+    The single place this invariant lives; used by the single-device builder
+    (graph_data.to_device_csr) and the per-shard partitioner
+    (dist.partition.partition_csr_arrays)."""
+    pad = (-len(indices)) % window + 2 * window
+    return np.concatenate([indices, np.zeros(pad, np.int32)])
+
+
 def uniform_neighbor_sample_csr(
     key: jax.Array,
     indptr: jnp.ndarray,    # (n+1,) int32

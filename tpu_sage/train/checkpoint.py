@@ -33,13 +33,17 @@ def _flatten_with_paths(tree: Any):
     ]
 
 
-def save_checkpoint(path: str, state: TrainState, config=None) -> None:
+def save_checkpoint(path: str, state: TrainState, config=None,
+                    best_metric=None) -> None:
     """Write the full TrainState to ``path`` (.npz).
 
     ``config`` (a TrainConfig) is recorded as a ``__config__`` JSON string so
     a checkpoint carries the knobs it was trained with (incl. the measured
     perf knobs — gather_form/gather_chunks/fuse_last/int8_summean); restore
     ignores it structurally, ``read_checkpoint_config`` reads it back.
+    ``best_metric`` (save_best writes) records the val metric this state
+    achieved, so a RESUMED run's BestTracker compares against it instead of
+    restarting from None and overwriting the best file with a worse state.
 
     Multi-process runs: process 0 alone writes (state is replicated, so the
     bytes would be identical — a shared filesystem must not see N processes
@@ -59,9 +63,22 @@ def save_checkpoint(path: str, state: TrainState, config=None) -> None:
         flat["__config__"] = np.array(
             _json.dumps(_dc.asdict(config), default=list)
         )
+    if best_metric is not None:
+        flat["__best_metric__"] = np.float64(best_metric)
     tmp = path + ".tmp.npz"
     np.savez(tmp, **flat)
     os.replace(tmp, path)
+
+
+def read_best_metric(path: str):
+    """The ``__best_metric__`` recorded by a save_best write (None if absent
+    or the file doesn't exist)."""
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as data:
+        if "__best_metric__" not in data.files:
+            return None
+        return float(data["__best_metric__"])
 
 
 def read_checkpoint_config(path: str):
@@ -105,13 +122,20 @@ def maybe_checkpoint(state: TrainState, resume_from, checkpoint_every: int,
                      epoch: int, log, config=None) -> None:
     """Shared periodic-save step: write ``resume_from`` every
     ``checkpoint_every`` epochs (SURVEY.md §5.4 "every N steps and at end";
-    the product step unit is the scanned epoch)."""
-    if (
-        checkpoint_every > 0 and resume_from
-        and (epoch + 1) % checkpoint_every == 0
-    ):
-        save_checkpoint(resume_from, state, config=config)
-        log({"checkpoint": resume_from, "step": int(state.step)})
+    the product step unit is the scanned epoch).
+
+    With ``config.save_best`` the tracker owns ``resume_from`` (best-so-far
+    state), so the periodic latest-state writes go to the ``.last`` sibling
+    — the single place this two-file contract lives; every fit loop calls
+    here with the plain ``resume_from``."""
+    if not (checkpoint_every > 0 and resume_from
+            and (epoch + 1) % checkpoint_every == 0):
+        return
+    path = (resume_from + ".last"
+            if (config is not None and getattr(config, "save_best", False))
+            else resume_from)
+    save_checkpoint(path, state, config=config)
+    log({"checkpoint": path, "step": int(state.step)})
 
 
 class BestTracker:
@@ -131,7 +155,13 @@ class BestTracker:
         self.resume_from = resume_from
         self.log = log
         self.config = config
-        self.best = None
+        # a resumed save_best run must compare against the metric the best
+        # file already holds — restarting from None would let the first
+        # post-resume epoch overwrite a better state
+        self.best = (read_best_metric(resume_from)
+                     if (self.save_best and resume_from) else None)
+        if self.best is not None:
+            log({"resumed_best_metric": self.best})
         self.stale = 0
 
     @property
@@ -144,7 +174,8 @@ class BestTracker:
         if self.best is None or val > self.best:
             self.best, self.stale = val, 0
             if self.save_best and self.resume_from:
-                save_checkpoint(self.resume_from, state, config=self.config)
+                save_checkpoint(self.resume_from, state, config=self.config,
+                                best_metric=val)
                 self.log({"checkpoint_best": self.resume_from,
                           "val_metric": val, "step": int(state.step)})
             return False

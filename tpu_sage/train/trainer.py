@@ -103,7 +103,11 @@ class TrainConfig:
     # and the final test metric always exact). Exact validation costs a
     # whole-graph layer-wise inference per call — at Reddit scale (233k
     # nodes, fanout-free) that dwarfs a 2.3 ms/step training epoch, so K>1
-    # makes the flag usable on big runs
+    # makes the flag usable on big runs. patience/save_best compare EXACT
+    # epochs only (the sampled in-betweens are informational — mixing the
+    # two metric streams would let sampling noise poison best tracking), so
+    # early stopping fires at exact epochs and the last tracked metric is
+    # always the serving-mode one
     halo: str = "auto"  # partitioned-path gather: "auto" | "exact" | "ring" |
     # "pipelined" | "bucketed" | "hier2d". "auto" resolves to exact (the
     # round-3 measured winner at every shard count — SCALING_r03.json;
@@ -571,20 +575,23 @@ def fit(
             "lr": float(train_metrics["lr"]),
             "elapsed": round(elapsed, 4),
         }
+        exact_now = exact_this_epoch(epoch)
         if eval_every_epoch:
-            rec = validate(rec, exact=exact_this_epoch(epoch))
+            rec = validate(rec, exact=exact_now)
         history.append(rec)
         log(rec)
         # save_best owns `resume_from` (best-so-far, written by the tracker);
-        # periodic checkpoints then go to `resume_from + ".last"` so both
-        # coexist — a crash after a long no-improvement stretch resumes from
-        # the latest periodic state, not the stale best (resume_state loads
-        # whichever file holds the later step)
-        periodic_path = (resume_from + ".last"
-                         if (config.save_best and resume_from) else resume_from)
-        maybe_checkpoint(state, periodic_path, checkpoint_every, epoch, log,
+        # maybe_checkpoint routes the periodic latest-state writes to the
+        # `.last` sibling in that case — resume_state loads the later file
+        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
                          config=config)
-        if tracker.update(rec.get("val_metric"), state):
+        # with exact_val_every>1 the in-between sampled metrics are
+        # informational only: the tracker compares EXACT epochs against each
+        # other (mixing streams would let one noisy sampled reading latch
+        # tracker.best and poison save_best/patience on the serving metric)
+        tracked = rec.get("val_metric") if (not use_exact_val or exact_now) \
+            else None
+        if tracker.update(tracked, state):
             break
 
     test_ids = problem.folds.get("test", np.array([], dtype=np.int64))

@@ -367,9 +367,7 @@ def fit_unsupervised(
                 rec["probe_val_accuracy"] = acc
         history.append(rec)
         log(rec)
-        periodic_path = (resume_from + ".last"
-                         if (config.save_best and resume_from) else resume_from)
-        maybe_checkpoint(state, periodic_path, checkpoint_every, epoch, log,
+        maybe_checkpoint(state, resume_from, checkpoint_every, epoch, log,
                          config=config)
         if tracker.update(acc, state):
             break
@@ -378,6 +376,10 @@ def fit_unsupervised(
         if acc is not None:
             history[-1]["probe_val_accuracy"] = acc
             log({"probe_val_accuracy": acc})
+            # the final probe participates in best tracking too: with
+            # probe_every>1 this may be the run's best state and save_best
+            # must capture it (stop return irrelevant — the loop is over)
+            tracker.update(acc, state)
     return trainer, state, history
 
 
