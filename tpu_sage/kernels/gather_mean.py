@@ -56,17 +56,19 @@ def _kernel(ids_ref, table_ref, o_ref, scratch, sem, *,
 
     x = scratch[:]                                     # (nrows, d_store)
     if bf16:
-        # Mosaic rejects bitwidth-CHANGING bitcasts (measured round 4,
-        # bench_logs/r4_kernels.log), so reinterpret each int32 as its two
-        # packed bf16 lanes via truncating converts (value-preserving for
-        # 16-bit patterns) + SAME-width uint16→bf16 bitcasts
+        # Mosaic rejects bitwidth-CHANGING bitcasts AND rank-changing
+        # reshapes on bf16 vectors (both measured round 4 — r4_kernels.log),
+        # so: reinterpret each int32 as its two packed bf16 lanes via
+        # truncating converts + SAME-width uint16→bf16 bitcasts, and keep
+        # the lanes DEINTERLEAVED (lo block ‖ hi block along the existing
+        # axis) — the caller re-interleaves the (tile_r, d) means in XLA
         lo = jax.lax.bitcast_convert_type(
             (x & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
         )
         hi = jax.lax.bitcast_convert_type(
             ((x >> 16) & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
         )
-        x = jnp.stack([lo, hi], axis=-1).reshape(nrows, d)
+        x = jnp.concatenate([lo, hi], axis=1)          # (nrows, d) deint.
     acc = jnp.mean(
         x.reshape(tile_r, fanout, d).astype(jnp.float32), axis=1
     )                                                  # f32 acc (Mosaic req)
@@ -118,4 +120,9 @@ def gather_fanout_mean(
         out_shape=jax.ShapeDtypeStruct((r_pad, d), jnp.float32),
         interpret=interpret,
     )(ids.astype(jnp.int32), table)
+    if bf16:
+        # undo the in-kernel deinterleave: col k of the lo block is feature
+        # 2k, col k of the hi block is 2k+1 (cheap XLA shuffle, f32 means)
+        half = d // 2
+        out = jnp.stack([out[:, :half], out[:, half:]], axis=-1).reshape(-1, d)
     return out[:r]
