@@ -61,3 +61,18 @@ def test_config_preset_with_explicit_default_value(capsys, tmp_path):
 def test_parse_ints():
     args = parse_args(["--synthetic", "sbm", "--n-train-samples", "5,3,2"])
     assert args.n_train_samples == "5,3,2"
+
+
+def test_partitioned_halo_measured_cli(capsys):
+    """--halo measured races on the live mesh at startup; the resolved mode
+    and per-mode ms/step reach the log, and the run completes."""
+    rc = main(["--synthetic", "sbm", "--synthetic-nodes", "300",
+               "--n-train-samples", "4,3", "--n-val-samples", "4,3",
+               "--output-dims", "16,16", "--batch-size", "32",
+               "--epochs", "1", "--partitioned", "--halo", "measured",
+               "--halo-measure-steps", "2"])
+    assert rc == 0
+    recs = _capture(capsys)
+    resolved = next(r for r in recs if "halo" in r)
+    assert resolved["halo"] in ("exact", "ring", "pipelined")
+    assert set(resolved["halo_measured_ms"]) == {"exact", "ring", "pipelined"}

@@ -525,6 +525,43 @@ def test_halo_mode_validation():
         resolve_halo_mode("rings", 8)
 
 
+def test_halo_measured_races_and_trains(mesh):
+    """halo='measured' times the semantics-preserving candidates with real
+    scanned epochs on the live mesh, resolves to the measured winner, logs
+    the per-mode ms/step, and the resulting trainer trains normally (the
+    durable answer to the auto-mode ordering reversing between rounds)."""
+    from tpu_sage.dist.train import fit_partitioned, halo_candidates
+
+    store = sbm_store(n_nodes=512, n_classes=4, feat_dim=16, avg_degree=8,
+                      feat_noise=0.5, seed=36)
+    cfg = TrainConfig(batch_size=64, epochs=2, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(32, 32),
+                      halo="measured", halo_measure_steps=2)
+    recs = []
+    _, state, hist = fit_partitioned(store, cfg, mesh=mesh, log=recs.append)
+    resolved = next(r for r in recs if "halo" in r)
+    timings = resolved["halo_measured_ms"]
+    assert set(timings) == {"exact", "ring", "pipelined"}
+    assert all(v > 0 for v in timings.values())
+    assert resolved["halo"] == min(timings, key=timings.get)
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+
+    # candidate policy: bucketed never auto-selected (capacity overflow
+    # changes semantics), 1-shard short-circuits, 2-D meshes race hier2d
+    assert halo_candidates("data", 1) == ["exact"]
+    assert halo_candidates("data", 8) == ["exact", "ring", "pipelined"]
+    assert halo_candidates(("host", "chip"), 8) == ["exact", "hier2d"]
+
+
+def test_halo_measured_requires_from_store():
+    """Direct trainer construction cannot race (no sharded graph yet) —
+    the error names the supported path instead of silently falling back."""
+    from tpu_sage.dist.train import resolve_halo_mode
+
+    with pytest.raises(ValueError, match="from_store"):
+        resolve_halo_mode("measured", 8)
+
+
 def test_bucketed_overflow_telemetry(mesh):
     """An under-capacity bucketed run must VISIBLY report overflow in the
     step metrics (VERDICT r2 #3 — halo.py returns the count 'for

@@ -103,3 +103,25 @@ def test_partitioned_unsupervised_hier2d(eight_devices):
     assert trainer.halo_mode == "hier2d"
     assert hist[-1]["unsup_loss"] < hist[0]["unsup_loss"] * 1.05
     assert np.isfinite(hist[-1]["probe_val_accuracy"])
+
+
+def test_partitioned_unsupervised_halo_measured(eight_devices):
+    """halo='measured' races the candidates with the REAL NCE epoch (the
+    per-workload knob lesson: the supervised winner is not assumed) and the
+    resolved mode + per-mode timings appear in the log."""
+    mesh = make_mesh()
+    store = sbm_store(n_nodes=256, n_classes=3, feat_dim=16, avg_degree=6,
+                      seed=17)
+    cfg = TrainConfig(batch_size=64, epochs=2, n_train_samples=(5, 3),
+                      n_val_samples=(5, 3), output_dims=(16, 16),
+                      lr_init=0.005, halo="measured", halo_measure_steps=2)
+    recs = []
+    trainer, state, hist = fit_unsupervised_partitioned(
+        store, cfg, UnsupConfig(walk_length=2, n_negatives=4),
+        mesh=mesh, log=recs.append, probe=False,
+    )
+    resolved = next(r for r in recs if "halo" in r)
+    timings = resolved["halo_measured_ms"]
+    assert set(timings) == {"exact", "ring", "pipelined"}
+    assert trainer.halo_mode == min(timings, key=timings.get)
+    assert np.isfinite(hist[-1]["unsup_loss"])

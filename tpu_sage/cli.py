@@ -82,14 +82,16 @@ def parse_args(argv=None):
                     help="node-sharded multi-chip training over a 'data' mesh "
                          "of all visible devices (halo-exchange path)")
     ap.add_argument("--halo", default=None,
-                    choices=["auto", "exact", "ring", "pipelined", "bucketed",
-                             "hier2d"],
+                    choices=["auto", "measured", "exact", "ring", "pipelined",
+                             "bucketed", "hier2d"],
                     help="halo-exchange implementation for --partitioned "
                          "(default auto = exact, the round-3 measured winner "
-                         "at every shard count — SCALING_r03.json; 'pipelined' "
-                         "interleaves all levels' ring chains hop-major; "
-                         "'hier2d' routes within-host before cross-host on a "
-                         "(host, chip) mesh)")
+                         "at every shard count — SCALING_r03.json; 'measured' "
+                         "races exact/ring/pipelined with real epochs on the "
+                         "live mesh at startup and picks the winner; "
+                         "'pipelined' interleaves all levels' ring chains "
+                         "hop-major; 'hier2d' routes within-host before "
+                         "cross-host on a (host, chip) mesh)")
     ap.add_argument("--halo-capacity-factor", type=float, default=None,
                     help="bucketed-halo capacity factor (default 2.0)")
     ap.add_argument("--halo-chunks", type=int, default=None,
@@ -97,6 +99,9 @@ def parse_args(argv=None):
                          "(descriptor-stream overlap inside shard_map; "
                          "default 10 — the round-4 measured winner at "
                          "headline scale; 1 disables)")
+    ap.add_argument("--halo-measure-steps", type=int, default=None,
+                    help="steps per timed racing epoch for --halo measured "
+                         "(default 20; 2 timed runs after a warm-up)")
     ap.add_argument("--fuse-first-layer", action="store_true",
                     help="whole-table projection first layer (mean+identity; "
                          "custom-VJP training path — see RESULTS.md tradeoffs)")
@@ -261,6 +266,8 @@ def main(argv=None):
         flag_values["halo_capacity_factor"] = args.halo_capacity_factor
     if args.halo_chunks is not None:
         flag_values["halo_chunks"] = args.halo_chunks
+    if args.halo_measure_steps is not None:
+        flag_values["halo_measure_steps"] = args.halo_measure_steps
     if args.fuse_first_layer:
         flag_values["fuse_first_layer"] = True
     if args.feature_int8:
@@ -308,6 +315,8 @@ def main(argv=None):
             overrides["halo_capacity_factor"] = args.halo_capacity_factor
         if args.halo_chunks is not None:
             overrides["halo_chunks"] = args.halo_chunks
+        if args.halo_measure_steps is not None:
+            overrides["halo_measure_steps"] = args.halo_measure_steps
         if args.fuse_first_layer:
             overrides["fuse_first_layer"] = True
         if args.feature_int8:

@@ -51,7 +51,8 @@ from tpu_sage.train.losses import loss_lookup
 from tpu_sage.train.trainer import TrainConfig, TrainState, build_model, build_optimizer
 
 
-HALO_MODES = ("auto", "exact", "ring", "pipelined", "bucketed", "hier2d")
+HALO_MODES = ("auto", "measured", "exact", "ring", "pipelined", "bucketed",
+              "hier2d")
 
 
 def resolve_halo_mode(mode: str, n_shards: int) -> str:
@@ -61,19 +62,89 @@ def resolve_halo_mode(mode: str, n_shards: int) -> str:
     three independent 8-shard CPU-mesh runs measured exact fastest (quiet
     host: exact 45.7 < pipelined 56.6 < bucketed 69.8 < ring 77.3 ms/step,
     SCALING_r03.json), reversing round 2's ring win (SCALING_r02.json —
-    the ordering is environment-sensitive; re-measure per deployment with
-    scripts/bench_halo.py). Among the overlap formulations the hop-major
-    ``pipelined`` ring beats the per-level ``ring`` by ~27% and is the
-    preferred ring-style choice on topologies where all_gather schedules
-    poorly. Explicit modes pass through for A/B.
+    the ordering is environment-sensitive, which is exactly why
+    ``halo='measured'`` exists: it times the candidates on the LIVE mesh at
+    trainer build and picks the winner — see :func:`measure_halo_mode`).
+    Among the overlap formulations the hop-major ``pipelined`` ring beats
+    the per-level ``ring`` by ~27% and is the preferred ring-style choice on
+    topologies where all_gather schedules poorly. Explicit modes pass
+    through for A/B.
     """
     if mode not in HALO_MODES:
         raise ValueError(
             f"unknown halo mode {mode!r}; valid choices: {', '.join(HALO_MODES)}"
         )
+    if mode == "measured":
+        # needs the sharded graph to time real epochs — resolved by
+        # from_store/fit_partitioned BEFORE the trainer is constructed
+        raise ValueError(
+            "halo='measured' is resolved by PartitionedTrainer.from_store / "
+            "fit_partitioned (timing the candidates needs the sharded "
+            "graph); build through from_store, or pass a concrete mode"
+        )
     if mode == "auto":
         return "exact"
     return mode
+
+
+def halo_candidates(axis, n_shards: int):
+    """The modes a ``halo='measured'`` resolution races on the live mesh.
+
+    Excludes ``bucketed`` deliberately: capacity overflow changes SEMANTICS
+    (overflowed queries silently receive fallback rows), and an auto-picker
+    must never trade quality for speed — pass ``--halo bucketed`` explicitly
+    to opt into capacity routing. On 2-D ``(host, chip)`` meshes the flat
+    ppermute-chain formulations don't apply (a ring is defined on one axis),
+    so the race is exact vs hier2d. At 1 shard every collective is
+    degenerate and exact has won every measurement (SCALING_r02/r03) — no
+    race needed.
+    """
+    if n_shards == 1:
+        return ["exact"]
+    if isinstance(axis, tuple):
+        return ["exact", "hier2d"]
+    return ["exact", "ring", "pipelined"]
+
+
+def measure_halo_mode(make_trainer, feat_dim: int, run_epoch, candidates,
+                      n_steps: int = 20, repeats: int = 2):
+    """Race the candidate halo modes with their REAL scanned-epoch programs
+    and return ``(winner, {mode: ms_per_step})``.
+
+    The CPU-mesh mode ordering reversed between rounds on the same machine
+    (ring won round 2, exact round 3 — SCALING_r02 vs r03), so a baked-in
+    choice is wrong somewhere; this runs each candidate's actual
+    ``train_epoch`` (same graph, same batch schedule) for ``n_steps`` steps,
+    ``repeats`` timed runs after a compile+warm-up run, and keeps the best
+    (min is the right statistic for short racing runs — noise is strictly
+    additive). Costs one extra compile per candidate; opt-in via
+    ``halo='measured'``. The throwaway measurement states are freshly
+    initialized per candidate and never leak into training, so resume/replay
+    determinism is untouched.
+
+    ``make_trainer(mode)`` builds a trainer pinned to ``mode``;
+    ``run_epoch(trainer, state, n_steps)`` must return ``(state, metrics)``
+    with a ``metrics['loss']`` to block on.
+    """
+    import time as _time
+
+    if len(candidates) == 1:
+        return candidates[0], {}
+    timings = {}
+    for mode in candidates:
+        tr = make_trainer(mode)
+        state = tr.init_state(feat_dim=feat_dim)
+        state, m = run_epoch(tr, state, n_steps)  # compile + warm
+        jax.block_until_ready(m["loss"])
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = _time.perf_counter()
+            state, m = run_epoch(tr, state, n_steps)
+            jax.block_until_ready(m["loss"])
+            best = min(best, _time.perf_counter() - t0)
+        timings[mode] = round(1e3 * best / n_steps, 4)
+    winner = min(timings, key=timings.get)
+    return winner, timings
 
 
 def _no_overflow() -> jnp.ndarray:
@@ -502,6 +573,7 @@ class PartitionedTrainer:
             else None
         )
         self.gather_levels = make_gather_levels(self.halo_mode, self.n_shards)
+        self.halo_timings = None  # {mode: ms/step} when halo="measured" raced
         self._step_fn = None
         self._epoch_fns = {}
         self._eval_fns = {}  # keyed on the eval graph's csr window (0 = dense)
@@ -552,8 +624,23 @@ class PartitionedTrainer:
             store, config, mesh, axis, csr=csr
         )
         model = build_model(config, store.n_nodes, store.n_classes)
+        window = getattr(graph, "window", 0)
+        halo_timings = None
+        if getattr(config, "halo", "auto") == "measured":
+            winner, halo_timings = measure_halo_mode(
+                lambda mode: cls(model, config.replace(halo=mode), mesh, m,
+                                 steps_per_epoch, task=store.task, axis=axis,
+                                 csr_window=window),
+                store.feat_dim,
+                lambda tr, st, n: tr.train_epoch(st, graph, fold_ids_d,
+                                                 fold_w_d, n_steps=n),
+                halo_candidates(axis, axis_size(mesh, axis)),
+                n_steps=getattr(config, "halo_measure_steps", 20),
+            )
+            config = config.replace(halo=winner)
         trainer = cls(model, config, mesh, m, steps_per_epoch, task=store.task,
-                      axis=axis, csr_window=getattr(graph, "window", 0))
+                      axis=axis, csr_window=window)
+        trainer.halo_timings = halo_timings
         return trainer, graph, fold_ids_d, fold_w_d
 
     def init_state(self, feat_dim: int, key: Optional[jax.Array] = None) -> TrainState:
@@ -998,8 +1085,11 @@ def fit_partitioned(
         store, config, mesh, axis=axis, csr=csr
     )
     tracker = BestTracker(config, resume_from, log)
-    # one line naming the RESOLVED halo implementation (config may say "auto")
+    # one line naming the RESOLVED halo implementation (config may say
+    # "auto"/"measured"); a measured race also reports its per-mode ms/step
     log({"n_shards": trainer.n_shards, "halo": trainer.halo_mode,
+         **({"halo_measured_ms": trainer.halo_timings}
+            if trainer.halo_timings else {}),
          **({"csr_window": trainer.csr_window} if csr else {})})
 
     use_exact_val = False

@@ -89,9 +89,30 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
             store, config, mesh, axis, csr=csr
         )
         model = build_model(config, store.n_nodes, max(store.n_classes, 2))
+        window = getattr(graph, "window", 0)
+        halo_timings = None
+        if getattr(config, "halo", "auto") == "measured":
+            # race with the real NCE epoch (the knob lesson: workloads
+            # differ — the supervised winner is not assumed here)
+            from tpu_sage.dist.mesh import axis_size
+            from tpu_sage.dist.train import halo_candidates, measure_halo_mode
+
+            winner, halo_timings = measure_halo_mode(
+                lambda mode: cls(model, config.replace(halo=mode), unsup,
+                                 mesh, m, steps_per_epoch,
+                                 n_real_nodes=store.n_nodes, axis=axis,
+                                 csr_window=window),
+                store.feat_dim,
+                lambda tr, st, n: tr.train_epoch(st, graph, fold_ids_d,
+                                                 fold_w_d, n_steps=n),
+                halo_candidates(axis, axis_size(mesh, axis)),
+                n_steps=getattr(config, "halo_measure_steps", 20),
+            )
+            config = config.replace(halo=winner)
         trainer = cls(model, config, unsup, mesh, m, steps_per_epoch,
                       n_real_nodes=store.n_nodes, axis=axis,
-                      csr_window=getattr(graph, "window", 0))
+                      csr_window=window)
+        trainer.halo_timings = halo_timings
         return trainer, graph, fold_ids_d, fold_w_d
 
     def neg_logits(self, store: GraphStore) -> Optional[jnp.ndarray]:
@@ -393,6 +414,10 @@ def fit_unsupervised_partitioned(
     trainer, graph, fold_ids, fold_w = PartitionedUnsupervisedTrainer.from_store(
         store, config, unsup, mesh, axis=axis, csr=csr
     )
+    # name the RESOLVED halo implementation (config may say "auto"/"measured")
+    log({"n_shards": trainer.n_shards, "halo": trainer.halo_mode,
+         **({"halo_measured_ms": trainer.halo_timings}
+            if trainer.halo_timings else {})})
     neg_logits = trainer.neg_logits(store)
     state = trainer.init_state(feat_dim=store.feat_dim)
     state, start_epoch = resume_state(state, resume_from,

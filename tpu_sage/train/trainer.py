@@ -108,10 +108,17 @@ class TrainConfig:
     # two metric streams would let sampling noise poison best tracking), so
     # early stopping fires at exact epochs and the last tracked metric is
     # always the serving-mode one
-    halo: str = "auto"  # partitioned-path gather: "auto" | "exact" | "ring" |
-    # "pipelined" | "bucketed" | "hier2d". "auto" resolves to exact (the
-    # round-3 measured winner at every shard count — SCALING_r03.json;
-    # resolution + per-mode notes in dist/train.py::resolve_halo_mode)
+    halo: str = "auto"  # partitioned-path gather: "auto" | "measured" |
+    # "exact" | "ring" | "pipelined" | "bucketed" | "hier2d". "auto"
+    # resolves to exact (the round-3 measured winner at every shard count —
+    # SCALING_r03.json), but the mode ordering is environment-sensitive
+    # (ring won round 2 on the same mesh): "measured" races the exact
+    # semantics-preserving candidates with their real scanned epochs on the
+    # LIVE mesh at trainer build and picks the winner (per-mode ms/step
+    # logged; dist/train.py::measure_halo_mode). Costs one extra compile per
+    # candidate — intended for long runs / new deployments
+    halo_measure_steps: int = 20  # steps per timed racing epoch for
+    # halo="measured" (2 timed runs after a warm-up, best kept)
     halo_capacity_factor: float = 2.0  # bucketed capacity = factor*q/n_shards
     halo_chunks: int = 10  # split each exact halo exchange into k equal query
     # chunks (independent collectives + answering gathers — the single-device
