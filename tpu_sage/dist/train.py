@@ -144,6 +144,16 @@ def measure_halo_mode(make_trainer, feat_dim: int, run_epoch, candidates,
             best = min(best, _time.perf_counter() - t0)
         timings[mode] = round(1e3 * best / n_steps, 4)
     winner = min(timings, key=timings.get)
+    if jax.process_count() > 1:
+        # The racing epochs are collective (the mesh spans processes) so the
+        # wall-clocks agree closely — but not bitwise, and a near-tie could
+        # resolve differently per process. Divergent winners mean divergent
+        # collective programs → a deadlock. Process 0's choice is law.
+        from jax.experimental import multihost_utils
+
+        order = sorted(candidates)
+        idx = np.asarray(order.index(winner), dtype=np.int32)
+        winner = order[int(multihost_utils.broadcast_one_to_all(idx))]
     return winner, timings
 
 
