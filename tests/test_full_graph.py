@@ -69,6 +69,61 @@ def test_full_graph_logits_and_pool():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def _numpy_attention_reference(store, params, key_dim):
+    """Dense attention-aggregator 2-layer forward over all nodes (numpy):
+    per node, softmax(q(self)·k(neighbors)/sqrt(K)) over ALL true neighbors,
+    summary = alpha-weighted neighbor sum; isolated nodes self-loop."""
+    p = jax.tree_util.tree_map(np.asarray, params)["params"]
+    h = store.feats.astype(np.float64)
+    for li in range(2):
+        pl = p[f"agg_layers_{li}"]
+        q = h @ pl["att_q"]["kernel"]
+        k = h @ pl["att_k"]["kernel"]
+        summary = np.zeros_like(h)
+        for v in range(store.n_nodes):
+            d = store.degrees[v]
+            if d > 0:
+                nbr = store.adj[v, :d]
+                s = (k[nbr] @ q[v]) / np.sqrt(float(key_dim))
+                a = np.exp(s - s.max())
+                a = a / a.sum()
+                summary[v] = a @ h[nbr]
+            else:
+                summary[v] = h[v]
+        hs = h @ pl["fc_self"]["kernel"]
+        hn = summary @ pl["fc_neigh"]["kernel"]
+        out = np.concatenate([hs, hn], axis=-1)
+        if li == 0:
+            out = np.maximum(out, 0)
+        h = out
+    return h / np.maximum(np.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+
+
+def test_full_graph_attention_matches_dense_oracle():
+    """Exact inference extends to attention (softmax over the full masked
+    neighbor set is permutation-invariant — same exact-limit argument as
+    mean); isolated nodes exercise the self-loop override, where the
+    all-masked softmax would otherwise produce uniform garbage."""
+    store = sbm_store(n_nodes=120, n_classes=3, feat_dim=8, avg_degree=5,
+                      max_degree=16, seed=21)
+    store.degrees[11] = 0
+    store.adj[11] = 11
+    store.train_degrees[11] = 0
+    store.train_adj[11] = 11
+    cfg = TrainConfig(n_train_samples=(4, 3), n_val_samples=(4, 3),
+                      output_dims=(16, 16), aggregator_class="attention",
+                      agg_hidden_dim=16)
+    model = build_model(cfg, store.n_nodes, store.n_classes)
+    graph = store.to_device(train=False)
+    levels = [jnp.zeros((4,), jnp.int32), jnp.zeros((16,), jnp.int32),
+              jnp.zeros((48,), jnp.int32)]
+    params = model.init(jax.random.key(2), levels, graph.feats)
+
+    out = np.asarray(embed_all_nodes(model, params, graph, chunk=32))
+    ref = _numpy_attention_reference(store, params, key_dim=16)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_full_graph_rejects_sample_defined_aggregators():
     store = sbm_store(n_nodes=60, n_classes=3, feat_dim=8, max_degree=8, seed=19)
     cfg = TrainConfig(n_train_samples=(4, 3), n_val_samples=(4, 3),
@@ -80,7 +135,7 @@ def test_full_graph_rejects_sample_defined_aggregators():
         embed_all_nodes(model, None, graph)
 
 
-@pytest.mark.parametrize("agg", ["mean", "gcn", "max_pool"])
+@pytest.mark.parametrize("agg", ["mean", "gcn", "max_pool", "attention"])
 def test_partitioned_full_graph_matches_single_device(agg):
     """Sharded exact inference (halo-gathered activations, VERDICT r2 #7)
     equals the single-device embed_all_nodes on the same graph/params —

@@ -12,10 +12,12 @@ Memory is bounded by chunking the node axis: each chunk materializes
 ``(chunk, max_degree, d)`` gathered neighbor rows. Everything is a jit'd
 ``lax.map`` over chunks — static shapes, on-device end to end.
 
-Supports the linear-summary aggregators exactly (mean, gcn) and pool
-aggregators exactly (masked max/mean over all neighbors); LSTM/attention are
-order/subset-dependent by construction and keep their sampled semantics —
-``embed_all_nodes`` raises for them.
+Supports every permutation-invariant aggregator exactly: linear summaries
+(mean, gcn), pools (masked max/mean over all neighbors), and softmax
+attention (masked scores over all neighbors — the softmax is permutation-
+invariant, so the exact limit of the sampled semantics exists just as for
+mean). LSTM is order/subset-dependent by construction and keeps its sampled
+semantics — ``embed_all_nodes`` raises for it.
 """
 
 from __future__ import annotations
@@ -70,6 +72,22 @@ def _chunk_combine(model, params, layer_idx, neigh, d_chunk, h_self):
             denom = jnp.maximum(d_chunk[:, None], 1).astype(dtype)
             summary = jnp.where(mask[:, :, None], mlp_out, 0).sum(axis=1) / denom
         summary = jnp.where(isolated, self_mlp, summary)
+        return _combine_with_params(model, layer_idx, sub, h_self, summary, agg_name)
+    if agg_name == "attention":
+        # softmax attention over ALL true neighbors — permutation-invariant,
+        # so the exact limit of the sampled semantics exists just as for
+        # mean (train on a sampled multiset, evaluate on the full set);
+        # padding columns get -inf scores, isolated nodes self-loop
+        q = _dense(sub, "att_q", h_self)                     # (chunk, K)
+        k = _dense(sub, "att_k", neigh)                      # (chunk, max_deg, K)
+        key_dim = q.shape[-1]
+        scores = jnp.einsum("bk,bfk->bf", q, k) / jnp.sqrt(float(key_dim))
+        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+        alpha = jax.nn.softmax(scores, axis=-1)
+        summary = jnp.einsum("bf,bfd->bd", alpha, neigh)
+        # all-masked rows softmax to uniform garbage — the self-loop
+        # override (sampled-path padding semantics) replaces them
+        summary = jnp.where(isolated, h_self, summary)
         return _combine_with_params(model, layer_idx, sub, h_self, summary, agg_name)
     raise ValueError(f"full-graph inference unsupported for {agg_name}")
 
@@ -141,8 +159,11 @@ def _embed_jit(model, params, graph, chunk, with_head):
     return h
 
 
+EXACT_AGGREGATORS = ("mean", "gcn", "max_pool", "mean_pool", "attention")
+
+
 def _check_exact_supported(model: GSSupervised) -> None:
-    if model.aggregator_class not in ("mean", "gcn", "max_pool", "mean_pool"):
+    if model.aggregator_class not in EXACT_AGGREGATORS:
         raise ValueError(
             f"full-graph inference needs a permutation-invariant aggregator "
             f"over all neighbors; {model.aggregator_class!r} is sample-defined"
@@ -151,9 +172,10 @@ def _check_exact_supported(model: GSSupervised) -> None:
 
 def exact_supported(model: GSSupervised) -> bool:
     """True when this model admits exact (variance-free) layer-wise
-    inference — the linear-summary and pool aggregators; LSTM/attention are
-    sample-defined by construction."""
-    return model.aggregator_class in ("mean", "gcn", "max_pool", "mean_pool")
+    inference — every permutation-invariant aggregator (linear summaries,
+    pools, and softmax attention over the full masked neighbor set); LSTM is
+    sample/order-defined by construction and keeps sampled semantics."""
+    return model.aggregator_class in EXACT_AGGREGATORS
 
 
 def embed_all_nodes(

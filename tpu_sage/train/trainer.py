@@ -96,8 +96,9 @@ class TrainConfig:
     # (resume then restarts from the best epoch)
     exact_val: bool = False  # validate with EXACT full-graph layer-wise
     # inference (nn/full_graph) instead of sampled eval — variance-free, the
-    # serving-mode metric; supported for mean/gcn/max_pool/mean_pool (the
-    # permutation-invariant aggregators), dense adjacency only
+    # serving-mode metric; supported for mean/gcn/max_pool/mean_pool/
+    # attention (the permutation-invariant aggregators — lstm is
+    # order-defined and keeps sampled eval), dense adjacency only
     exact_val_every: int = 1  # with exact_val: run the exact full-graph pass
     # every K epochs (sampled validation in between, plus the final epoch
     # and the final test metric always exact). Exact validation costs a
