@@ -69,8 +69,10 @@ def _kernel(ids_ref, table_ref, o_ref, scratch, sem, *,
             ((x >> 16) & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
         )
         x = jnp.concatenate([lo, hi], axis=1)          # (nrows, d) deint.
+    # cast BEFORE the rank-changing reshape: Mosaic restricts non-32-bit
+    # reshapes (r4_kernels.log), and the mean accumulates in f32 anyway
     acc = jnp.mean(
-        x.reshape(tile_r, fanout, d).astype(jnp.float32), axis=1
+        x.astype(jnp.float32).reshape(tile_r, fanout, d), axis=1
     )                                                  # f32 acc (Mosaic req)
     o_ref[:] = acc.astype(o_ref.dtype)
 
