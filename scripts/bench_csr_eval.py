@@ -61,10 +61,14 @@ def main():
     logits = embed_all_nodes(model, state.params, graph_full, with_head=True)
     jax.block_until_ready(logits)  # compile
     times = []
-    for _ in range(3):
+    for i in range(3):
+        # vary the params per repeat (scale is semantics-neutral for timing):
+        # repeating bitwise-identical dispatches once measured as ~0 s on the
+        # axon backend (r4d_csr_eval.log) — result caching, not execution
+        params = jax.tree.map(lambda p: p * (1.0 + 1e-6 * (i + 1)),
+                              state.params)
         t0 = time.perf_counter()
-        logits = embed_all_nodes(model, state.params, graph_full,
-                                 with_head=True)
+        logits = embed_all_nodes(model, params, graph_full, with_head=True)
         jax.block_until_ready(logits)
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[1]
@@ -76,10 +80,11 @@ def main():
     # 3. sampled eval of the val fold for contrast
     val_ids = problem.folds["val"]
     tgt = problem.store.targets[val_ids]
-    key = jax.random.key(7)
-    trainer.evaluate(state.params, graph_full, val_ids, tgt, key)  # compile
+    trainer.evaluate(state.params, graph_full, val_ids, tgt,
+                     jax.random.key(7))  # compile
     times = []
-    for _ in range(3):
+    for i in range(3):
+        key = jax.random.key(100 + i)  # vary inputs (see note above)
         t0 = time.perf_counter()
         trainer.evaluate(state.params, graph_full, val_ids, tgt, key)
         times.append(time.perf_counter() - t0)
