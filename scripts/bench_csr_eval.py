@@ -59,17 +59,15 @@ def main():
     graph_train = problem.device_graph(train=True)
     state = trainer.init_state(graph_train)
     logits = embed_all_nodes(model, state.params, graph_full, with_head=True)
-    jax.block_until_ready(logits)  # compile
+    float(jnp.sum(logits))  # compile + host-forced sync (bench.py note: on
+    # axon, block_until_ready can report ready before chained dispatches
+    # execute — r4d_csr_eval.log read a 0.0 s "pass" that way)
     times = []
-    for i in range(3):
-        # vary the params per repeat (scale is semantics-neutral for timing):
-        # repeating bitwise-identical dispatches once measured as ~0 s on the
-        # axon backend (r4d_csr_eval.log) — result caching, not execution
-        params = jax.tree.map(lambda p: p * (1.0 + 1e-6 * (i + 1)),
-                              state.params)
+    for _ in range(3):
         t0 = time.perf_counter()
-        logits = embed_all_nodes(model, params, graph_full, with_head=True)
-        jax.block_until_ready(logits)
+        logits = embed_all_nodes(model, state.params, graph_full,
+                                 with_head=True)
+        float(jnp.sum(logits))
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[1]
     print(json.dumps({"op": "exact_full_graph_pass",
@@ -80,13 +78,14 @@ def main():
     # 3. sampled eval of the val fold for contrast
     val_ids = problem.folds["val"]
     tgt = problem.store.targets[val_ids]
-    trainer.evaluate(state.params, graph_full, val_ids, tgt,
-                     jax.random.key(7))  # compile
+    key = jax.random.key(7)
+    m = trainer.evaluate(state.params, graph_full, val_ids, tgt, key)  # compile
+    float(m["metric"]) if isinstance(m, dict) else float(jnp.asarray(m))
     times = []
-    for i in range(3):
-        key = jax.random.key(100 + i)  # vary inputs (see note above)
+    for _ in range(3):
         t0 = time.perf_counter()
-        trainer.evaluate(state.params, graph_full, val_ids, tgt, key)
+        m = trainer.evaluate(state.params, graph_full, val_ids, tgt, key)
+        float(m["metric"]) if isinstance(m, dict) else float(jnp.asarray(m))
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[1]
     print(json.dumps({"op": "sampled_val_fold_eval", "seconds": round(dt, 3),

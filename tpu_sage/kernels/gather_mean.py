@@ -29,32 +29,45 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_sage.kernels.gather import bitcast_table_i32
 
 
-def _kernel(ids_ref, table_ref, o_ref, scratch, sem, *,
-            tile_r: int, fanout: int, bf16: bool, d: int):
+def _kernel(ids_ref, table_ref, o_ref, *rest,
+            tile_r: int, fanout: int, bf16: bool, d: int,
+            widths: tuple):
+    sem = rest[-1]
+    scratches = rest[:-1]                              # one per column chunk
     base = pl.program_id(0) * tile_r * fanout
     nrows = tile_r * fanout
+    offs = [0]
+    for w in widths[:-1]:
+        offs.append(offs[-1] + w)
 
-    def dma(q):
+    # Mosaic rejects 1-row slices of >128-lane VMEM buffers ("Slice shape
+    # along dimension 0 must be aligned to tiling (8)" — r4f_kernels.log;
+    # same limit kernels/gather.py documents), so each row is fetched as
+    # ≤128-lane column chunks into chunk-width scratches.
+    def dma(q, c):
         row = ids_ref[base + q]
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(row, 1), :],
-            scratch.at[pl.ds(q, 1), :],
+            table_ref.at[pl.ds(row, 1), pl.ds(offs[c], widths[c])],
+            scratches[c].at[pl.ds(q, 1), :],
             sem,
         )
 
     def start(q, carry):
-        dma(q).start()
+        for c in range(len(widths)):
+            dma(q, c).start()
         return carry
 
     jax.lax.fori_loop(0, nrows, start, 0, unroll=True)
 
     def wait(q, carry):
-        dma(q).wait()
+        for c in range(len(widths)):
+            dma(q, c).wait()
         return carry
 
     jax.lax.fori_loop(0, nrows, wait, 0, unroll=True)
 
-    x = scratch[:]                                     # (nrows, d_store)
+    x = (jnp.concatenate([s[:] for s in scratches], axis=1)
+         if len(scratches) > 1 else scratches[0][:])   # (nrows, d_store)
     if bf16:
         # Mosaic rejects bitwidth-CHANGING bitcasts AND rank-changing
         # reshapes on bf16 vectors (both measured round 4 — r4_kernels.log),
@@ -97,6 +110,9 @@ def gather_fanout_mean(
     if bf16:
         table = bitcast_table_i32(table)               # (n, d//2) int32
     d_store = table.shape[1]
+    # ≤128-lane column chunks (see the Mosaic slice limit note in _kernel)
+    widths = tuple(min(128, d_store - c * 128)
+                   for c in range((d_store + 127) // 128))
     pad_r = (-r) % tile_r
     if pad_r:
         ids = jnp.concatenate(
@@ -106,7 +122,7 @@ def gather_fanout_mean(
     grid = (r_pad // tile_r,)
     out = pl.pallas_call(
         functools.partial(_kernel, tile_r=tile_r, fanout=fanout,
-                          bf16=bf16, d=d),
+                          bf16=bf16, d=d, widths=widths),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -115,9 +131,9 @@ def gather_fanout_mean(
                 (tile_r, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((tile_r * fanout, d_store), table.dtype),
-                pltpu.SemaphoreType.DMA,
-            ],
+                pltpu.VMEM((tile_r * fanout, w), table.dtype)
+                for w in widths
+            ] + [pltpu.SemaphoreType.DMA],
         ),
         out_shape=jax.ShapeDtypeStruct((r_pad, d), jnp.float32),
         interpret=interpret,
