@@ -17,7 +17,10 @@ mkdir -p "$OUT"
 python - <<EOF
 from tpu_sage.data.synthetic import sbm_store
 from tpu_sage.data.convert import save_problem_h5
-save_problem_h5(sbm_store(n_nodes=2708, n_classes=7, feat_dim=64, seed=0),
+# centroid_seed pins the class->feature mapping so the cross-graph
+# inductive leg below can draw a DISJOINT graph from the same process
+save_problem_h5(sbm_store(n_nodes=2708, n_classes=7, feat_dim=64, seed=0,
+                          centroid_seed=7),
                 "$OUT/problem.h5")
 print("wrote $OUT/problem.h5")
 EOF
@@ -57,6 +60,28 @@ echo "== hierarchical (host, chip) halo on a 2-D mesh =="
 python -m tpu_sage.cli --problem-path "$OUT/problem.h5" \
   --aggregator-class mean --n-train-samples 10,5 --n-val-samples 10,5 \
   --batch-size 256 --epochs 2 --partitioned --halo hier2d
+
+echo "== cross-graph inductive inference (train on A, classify DISJOINT B) =="
+python - <<EOF
+from tpu_sage.data.synthetic import sbm_store
+from tpu_sage.data.convert import save_problem_h5
+# same generative process (centroid_seed=7), every node/edge/size different
+save_problem_h5(sbm_store(n_nodes=4000, n_classes=7, feat_dim=64, seed=1,
+                          centroid_seed=7),
+                "$OUT/problem_b.h5")
+print("wrote $OUT/problem_b.h5")
+EOF
+python -m tpu_sage.export --problem-path "$OUT/problem_b.h5" \
+  --checkpoint "$OUT/model.npz" --checkpoint-config \
+  --out "$OUT/b_logits.npy" --logits
+python - <<EOF
+import numpy as np, h5py
+with h5py.File("$OUT/problem_b.h5") as f:
+    targets = f["targets"][:]
+acc = float((np.load("$OUT/b_logits.npy").argmax(-1) == targets).mean())
+print({"cross_graph_accuracy_on_B": acc, "chance": 1 / 7})
+assert acc > 2 / 7, "cross-graph transfer failed"
+EOF
 
 echo "== memory-lean CSR adjacency: single-device and partitioned =="
 python -m tpu_sage.cli --problem-path "$OUT/problem.h5" \

@@ -89,6 +89,27 @@ def main():
             acc += jnp.sum(graph.feats[l].astype(jnp.float32))
         return acc
 
+    # The model's ACTUAL gather formulation at HEAD (round-5 addition): the
+    # non-deepest levels through chunked plain row gathers, the deepest level
+    # through the fused gather+fanout-mean (nn/model.py::encode defaults:
+    # form="plain", gather_chunks=10, fuse_last on). The plain per-level
+    # v_gather above predates the fused path and overstates the stage — it
+    # materializes the 128k raw deepest-level rows the model never does.
+    def v_gather_model(params, graph, ids, tgt, key):
+        from tpu_sage.ops import row_gather_chunked, row_gather_fanout_mean
+
+        levels = graph_sample_tree(key, graph, ids, fo)
+        nc = config.gather_chunks or 10
+        acc = jnp.float32(0.0)
+        for l in levels[:-1]:
+            rows = row_gather_chunked(graph.feats, l, form="plain", n_chunks=nc)
+            acc += jnp.sum(rows.astype(jnp.float32))
+        fanout = levels[-1].shape[0] // levels[-2].shape[0]
+        means = row_gather_fanout_mean(
+            graph.feats, levels[-1], fanout, form="plain", n_chunks=nc
+        )
+        return acc + jnp.sum(means.astype(jnp.float32))
+
     def v_forward(params, graph, ids, tgt, key):
         levels = graph_sample_tree(key, graph, ids, fo)
         logits = model.apply(params, levels, graph.feats)
@@ -105,6 +126,7 @@ def main():
 
     variants = [
         ("empty", v_empty), ("sample", v_sample), ("gather", v_gather),
+        ("gather_model", v_gather_model),
         ("forward", v_forward), ("backward", v_backward),
     ]
 
@@ -138,8 +160,11 @@ def main():
                       "ms_per_iter": round(results["full_step"] * 1e3, 3)}),
           flush=True)
 
+    # The model-true prefix chain (the legacy raw-row "gather" variant is
+    # reported above but kept out of the deltas — the model never
+    # materializes the deepest level's raw rows since round 2f).
     prev = 0.0
-    for name in ["empty", "sample", "gather", "forward", "backward",
+    for name in ["empty", "sample", "gather_model", "forward", "backward",
                  "full_step"]:
         ms = results[name] * 1e3
         print(json.dumps({"stage": name, "cum_ms": round(ms, 3),

@@ -54,6 +54,7 @@ def sbm_store(
     max_degree: int = 32,
     task: str = "classification",
     seed: int = 0,
+    centroid_seed: Optional[int] = None,
 ) -> GraphStore:
     """Stochastic-block-model GraphStore with class-signal features.
 
@@ -62,6 +63,13 @@ def sbm_store(
     unit vector scaled) plus N(0, feat_noise). The train adjacency keeps only
     edges whose BOTH endpoints are train-fold nodes (the reference's
     inductive ``train_adj`` semantics, SURVEY.md §2.1).
+
+    ``centroid_seed``: draw the class→feature mapping (centroids, and the
+    regression weight) from its OWN rng so two stores with different
+    structural ``seed``/size share one generative process — the cross-graph
+    inductive-inference setup (the paper's headline claim, SURVEY.md §0.1):
+    train on store A, embed/classify a disjoint store B. None keeps the
+    single-seed draw (bit-identical to the historical generator).
     """
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, n_classes, size=n_nodes)
@@ -84,7 +92,8 @@ def sbm_store(
     train_edges = edges[is_train[edges[:, 0]] & is_train[edges[:, 1]]]
     train_adj, train_degrees = build_padded_adjacency(train_edges, n_nodes, max_degree, rng)
 
-    centroids = rng.normal(size=(n_classes, feat_dim)).astype(np.float32)
+    crng = rng if centroid_seed is None else np.random.default_rng(centroid_seed)
+    centroids = crng.normal(size=(n_classes, feat_dim)).astype(np.float32)
     centroids *= 3.0 / np.linalg.norm(centroids, axis=1, keepdims=True)
     feats = centroids[labels] + rng.normal(
         scale=feat_noise, size=(n_nodes, feat_dim)
@@ -99,7 +108,7 @@ def sbm_store(
         extra = rng.random((n_nodes, n_classes)) < 0.1
         targets = np.maximum(targets, extra.astype(np.float32))
     elif task in ("regression", "regression_mae"):
-        w = rng.normal(size=(feat_dim, 1)).astype(np.float32)
+        w = crng.normal(size=(feat_dim, 1)).astype(np.float32)
         targets = (feats @ w + rng.normal(scale=0.1, size=(n_nodes, 1))).astype(np.float32)
         n_classes = 1  # regression head width = target columns, not classes
     else:

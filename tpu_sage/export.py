@@ -26,6 +26,11 @@ def main(argv=None):
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--config", default=None)
+    ap.add_argument("--checkpoint-config", action="store_true",
+                    help="take the model config from the checkpoint's own "
+                         "__config__ metadata instead of CLI flags — the "
+                         "safe spelling for cross-graph inductive inference "
+                         "(train on graph A, export a DISJOINT graph B)")
     ap.add_argument("--logits", action="store_true",
                     help="export classifier logits instead of embeddings")
     ap.add_argument("--partitioned", action="store_true",
@@ -61,7 +66,18 @@ def main(argv=None):
     from tpu_sage.train.checkpoint import load_checkpoint
     from tpu_sage.train.trainer import TrainConfig, Trainer, build_model
 
-    if args.config:
+    if args.checkpoint_config:
+        from tpu_sage.train.checkpoint import read_checkpoint_config
+
+        stored = read_checkpoint_config(args.checkpoint)
+        if stored is None:
+            raise SystemExit(
+                f"--checkpoint-config: {args.checkpoint} carries no "
+                "__config__ metadata (written by every checkpoint since "
+                "round 3) — pass --config or the model flags instead"
+            )
+        config = TrainConfig.from_dict(stored, origin=args.checkpoint)
+    elif args.config:
         config = TrainConfig.from_json(args.config)
     else:
         ints = lambda s: tuple(int(x) for x in s.split(","))
@@ -83,6 +99,27 @@ def main(argv=None):
                               seed=args.seed)
     else:
         problem = NodeProblem.from_h5(args.problem_path)
+
+    if config.prep_class == "node_embedding":
+        # Transductive prep: the learned (n_nodes, embedding_dim) table is
+        # keyed by TRAINING-graph node id. Exporting a different graph with
+        # it would either shape-mismatch or silently look up meaningless
+        # rows — fail with the inductive story instead (identity/linear
+        # preps are graph-size-independent and transfer; SURVEY.md §0.1).
+        emb_rows = None
+        with np.load(args.checkpoint) as data:
+            for k in data.files:
+                if "prep" in k and "embedding" in k and data[k].ndim == 2:
+                    emb_rows = int(data[k].shape[0])
+                    break
+        if emb_rows is not None and emb_rows != problem.n_nodes:
+            raise SystemExit(
+                f"prep_class=node_embedding is TRANSDUCTIVE: the checkpoint's "
+                f"embedding table covers {emb_rows} training-graph nodes but "
+                f"the target graph has {problem.n_nodes}. Cross-graph "
+                f"inference needs a graph-size-independent prep — retrain "
+                f"with --prep-class identity or linear."
+            )
 
     model = build_model(config, problem.n_nodes, problem.n_classes)
     if args.partitioned:

@@ -131,23 +131,33 @@ class TrainConfig:
     # under ops._CHUNK_MIN_ROWS stay unchunked (1 restores round-3 behavior)
 
     @classmethod
-    def from_json(cls, path: str) -> "TrainConfig":
-        with open(path) as f:
-            d = json.load(f)
+    def from_dict(cls, d: dict, origin: str = "<dict>") -> "TrainConfig":
+        """Build from a plain dict (json preset file, or the ``__config__``
+        metadata a checkpoint carries) with the tuple-field coercions."""
         d = {k: v for k, v in d.items() if not k.startswith("_")}
         known = {f.name for f in dataclasses.fields(cls)}
         unknown = set(d) - known
         if unknown:
             raise ValueError(
-                f"unknown config keys in {path}: {sorted(unknown)}; "
+                f"unknown config keys in {origin}: {sorted(unknown)}; "
                 f"valid keys: {sorted(known)}"
             )
         for k in ("n_train_samples", "n_val_samples", "output_dims"):
             if k in d:
                 d[k] = tuple(d[k])
         if "lr_kwargs" in d:
-            d["lr_kwargs"] = tuple(sorted(d["lr_kwargs"].items()))
+            kw = d["lr_kwargs"]
+            # json presets spell it as a dict; checkpoint metadata stores the
+            # dataclass's tuple-of-pairs (lists after the json roundtrip)
+            pairs = kw.items() if isinstance(kw, dict) else (tuple(p) for p in kw)
+            d["lr_kwargs"] = tuple(sorted(pairs))
         return cls(**d)
+
+    @classmethod
+    def from_json(cls, path: str) -> "TrainConfig":
+        with open(path) as f:
+            d = json.load(f)
+        return cls.from_dict(d, origin=path)
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)
