@@ -541,9 +541,14 @@ def test_halo_measured_races_and_trains(mesh):
     _, state, hist = fit_partitioned(store, cfg, mesh=mesh, log=recs.append)
     resolved = next(r for r in recs if "halo" in r)
     timings = resolved["halo_measured_ms"]
-    assert set(timings) == {"exact", "ring", "pipelined"}
-    assert all(v > 0 for v in timings.values())
-    assert resolved["halo"] == min(timings, key=timings.get)
+    fell_back = "fallback" in timings
+    modes = {k: v for k, v in timings.items() if k != "fallback"}
+    assert set(modes) == {"exact", "ring", "pipelined"}
+    assert all(v > 0 for v in modes.values())
+    if fell_back:  # sub-noise margin → the race abstains to the auto default
+        assert resolved["halo"] == "exact"
+    else:
+        assert resolved["halo"] == min(modes, key=modes.get)
     assert hist[-1]["train_loss"] < hist[0]["train_loss"]
 
     # candidate policy: bucketed never auto-selected (capacity overflow
@@ -551,6 +556,52 @@ def test_halo_measured_races_and_trains(mesh):
     assert halo_candidates("data", 1) == ["exact"]
     assert halo_candidates("data", 8) == ["exact", "ring", "pipelined"]
     assert halo_candidates(("host", "chip"), 8) == ["exact", "hier2d"]
+
+
+def test_halo_measured_subnoise_margin_falls_back(monkeypatch):
+    """A winner margin inside the repeat-to-repeat spread is a coin flip,
+    not a measurement — the race must abstain to the auto default (exact)
+    and record why (VERDICT r4 weak #2: two timed repeats of a short epoch
+    were deciding near-ties). Deterministic fake clocks drive both arms."""
+    import time
+
+    from tpu_sage.dist.train import measure_halo_mode, resolve_measure_steps
+
+    candidates = ["exact", "ring", "pipelined"]
+
+    class FakeTrainer:
+        def init_state(self, feat_dim):
+            return None
+
+    run_epoch = lambda tr, st, n: (st, {"loss": jnp.zeros(())})
+
+    def race(durations):
+        # perf_counter is consumed as (t0, t1) pairs per timed repeat, in
+        # candidate order (the warm-up run takes no clock readings)
+        seq = []
+        for mode in candidates:
+            for d in durations[mode]:
+                seq += [0.0, d]
+        it = iter(seq)
+        monkeypatch.setattr(time, "perf_counter", lambda: next(it))
+        return measure_halo_mode(lambda mode: FakeTrainer(), 8, run_epoch,
+                                 candidates, n_steps=1, repeats=2)
+
+    # ring is raw-fastest by 0.05 ms/step but both contenders wobble 0.3 —
+    # sub-noise margin: abstain to exact, keep the evidence in the dict
+    winner, t = race({"exact": [1.0e-3, 1.3e-3], "ring": [0.95e-3, 1.25e-3],
+                      "pipelined": [2e-3, 2e-3]})
+    assert winner == "exact"
+    assert "fallback" in t and "noise" in t["fallback"]
+    # a clear margin keeps the measured winner
+    winner, t = race({"exact": [1.0e-3, 1.001e-3], "ring": [0.5e-3, 0.501e-3],
+                      "pipelined": [2e-3, 2e-3]})
+    assert winner == "ring" and "fallback" not in t
+
+    # backend-resolved racing-epoch length: CPU keeps 20 (no dispatch tax);
+    # explicit values pass through verbatim
+    assert resolve_measure_steps(None) == 20
+    assert resolve_measure_steps(7) == 7
 
 
 def test_halo_measured_requires_from_store():

@@ -122,6 +122,10 @@ def test_partitioned_unsupervised_halo_measured(eight_devices):
     )
     resolved = next(r for r in recs if "halo" in r)
     timings = resolved["halo_measured_ms"]
-    assert set(timings) == {"exact", "ring", "pipelined"}
-    assert trainer.halo_mode == min(timings, key=timings.get)
+    modes = {k: v for k, v in timings.items() if k != "fallback"}
+    assert set(modes) == {"exact", "ring", "pipelined"}
+    if "fallback" in timings:
+        assert trainer.halo_mode == "exact"
+    else:
+        assert trainer.halo_mode == min(modes, key=modes.get)
     assert np.isfinite(hist[-1]["unsup_loss"])

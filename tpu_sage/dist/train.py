@@ -106,21 +106,43 @@ def halo_candidates(axis, n_shards: int):
     return ["exact", "ring", "pipelined"]
 
 
+def resolve_measure_steps(n_steps) -> int:
+    """``halo_measure_steps=None`` → backend-resolved racing-epoch length.
+
+    The axon TPU backend charges a FLAT ~26 ms per dispatched scan program
+    (RESULTS r2b cost model: an empty 50-iteration scan and a 500-iteration
+    one both take ~26 ms), so a 20-step racing epoch inflates every
+    candidate by ~1.3 ms/step — equal-offset, but it compresses relative
+    gaps (a true 2.3 vs 2.7 ms/step contest reads 3.6 vs 4.0). 100 steps
+    cuts the tax to ~0.26 ms/step; CPU has no dispatch tax and keeps the
+    cheap 20 (the mesh tests race real epochs there)."""
+    if n_steps is not None:
+        return int(n_steps)
+    return 20 if jax.default_backend() == "cpu" else 100
+
+
 def measure_halo_mode(make_trainer, feat_dim: int, run_epoch, candidates,
-                      n_steps: int = 20, repeats: int = 2):
+                      n_steps=None, repeats: int = 2):
     """Race the candidate halo modes with their REAL scanned-epoch programs
     and return ``(winner, {mode: ms_per_step})``.
 
     The CPU-mesh mode ordering reversed between rounds on the same machine
     (ring won round 2, exact round 3 — SCALING_r02 vs r03), so a baked-in
     choice is wrong somewhere; this runs each candidate's actual
-    ``train_epoch`` (same graph, same batch schedule) for ``n_steps`` steps,
-    ``repeats`` timed runs after a compile+warm-up run, and keeps the best
-    (min is the right statistic for short racing runs — noise is strictly
-    additive). Costs one extra compile per candidate; opt-in via
-    ``halo='measured'``. The throwaway measurement states are freshly
-    initialized per candidate and never leak into training, so resume/replay
-    determinism is untouched.
+    ``train_epoch`` (same graph, same batch schedule) for ``n_steps`` steps
+    (None = backend default, :func:`resolve_measure_steps`), ``repeats``
+    timed runs after a compile+warm-up run, and keeps the best (min is the
+    right statistic for short racing runs — noise is strictly additive).
+    Costs one extra compile per candidate; opt-in via ``halo='measured'``.
+    The throwaway measurement states are freshly initialized per candidate
+    and never leak into training, so resume/replay determinism is untouched.
+
+    **Sub-noise fallback:** two timed repeats of a short epoch decide the
+    winner, so a margin smaller than the observed repeat-to-repeat spread is
+    a coin flip, not a measurement. When ``second_best − best`` is within
+    the summed spreads of those two modes, the race ABSTAINS and returns
+    the ``halo='auto'`` resolution (exact — the round-3/4 measured default)
+    with ``timings['fallback']`` recording why.
 
     ``make_trainer(mode)`` builds a trainer pinned to ``mode``;
     ``run_epoch(trainer, state, n_steps)`` must return ``(state, metrics)``
@@ -128,22 +150,35 @@ def measure_halo_mode(make_trainer, feat_dim: int, run_epoch, candidates,
     """
     import time as _time
 
+    n_steps = resolve_measure_steps(n_steps)
     if len(candidates) == 1:
         return candidates[0], {}
     timings = {}
+    spreads = {}
     for mode in candidates:
         tr = make_trainer(mode)
         state = tr.init_state(feat_dim=feat_dim)
         state, m = run_epoch(tr, state, n_steps)  # compile + warm
         jax.block_until_ready(m["loss"])
-        best = float("inf")
+        reps = []
         for _ in range(repeats):
             t0 = _time.perf_counter()
             state, m = run_epoch(tr, state, n_steps)
             jax.block_until_ready(m["loss"])
-            best = min(best, _time.perf_counter() - t0)
-        timings[mode] = round(1e3 * best / n_steps, 4)
-    winner = min(timings, key=timings.get)
+            reps.append(1e3 * (_time.perf_counter() - t0) / n_steps)
+        timings[mode] = round(min(reps), 4)
+        spreads[mode] = round(max(reps) - min(reps), 4)
+    ranked = sorted(timings, key=timings.get)
+    winner = ranked[0]
+    margin = timings[ranked[1]] - timings[ranked[0]]
+    noise = spreads[ranked[0]] + spreads[ranked[1]]
+    if margin <= noise and "exact" in candidates:
+        timings = dict(timings)
+        timings["fallback"] = (
+            f"margin {round(margin, 4)} ms/step within repeat noise "
+            f"{round(noise, 4)} — using the auto default"
+        )
+        winner = "exact"
     if jax.process_count() > 1:
         # The racing epochs are collective (the mesh spans processes) so the
         # wall-clocks agree closely — but not bitwise, and a near-tie could
@@ -645,7 +680,7 @@ class PartitionedTrainer:
                 lambda tr, st, n: tr.train_epoch(st, graph, fold_ids_d,
                                                  fold_w_d, n_steps=n),
                 halo_candidates(axis, axis_size(mesh, axis)),
-                n_steps=getattr(config, "halo_measure_steps", 20),
+                n_steps=getattr(config, "halo_measure_steps", None),
             )
             config = config.replace(halo=winner)
         trainer = cls(model, config, mesh, m, steps_per_epoch, task=store.task,

@@ -106,7 +106,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                 lambda tr, st, n: tr.train_epoch(st, graph, fold_ids_d,
                                                  fold_w_d, n_steps=n),
                 halo_candidates(axis, axis_size(mesh, axis)),
-                n_steps=getattr(config, "halo_measure_steps", 20),
+                n_steps=getattr(config, "halo_measure_steps", None),
             )
             config = config.replace(halo=winner)
         trainer = cls(model, config, unsup, mesh, m, steps_per_epoch,

@@ -118,8 +118,15 @@ class TrainConfig:
     # LIVE mesh at trainer build and picks the winner (per-mode ms/step
     # logged; dist/train.py::measure_halo_mode). Costs one extra compile per
     # candidate — intended for long runs / new deployments
-    halo_measure_steps: int = 20  # steps per timed racing epoch for
-    # halo="measured" (2 timed runs after a warm-up, best kept)
+    halo_measure_steps: Optional[int] = None  # steps per timed racing epoch
+    # for halo="measured" (2 timed runs after a warm-up, best kept). None =
+    # backend-resolved: 100 on accelerator backends — the axon TPU charges a
+    # FLAT ~26 ms per dispatched scan program (RESULTS r2b cost model), so a
+    # 20-step racing epoch inflates every candidate by ~1.3 ms/step and
+    # compresses relative gaps — 20 on CPU (tests; no dispatch tax there).
+    # Explicit values apply verbatim. The race also falls back to the "auto"
+    # resolution when the winner's margin is inside the measured repeat
+    # noise (dist/train.py::measure_halo_mode)
     halo_capacity_factor: float = 2.0  # bucketed capacity = factor*q/n_shards
     halo_chunks: int = 10  # split each exact halo exchange into k equal query
     # chunks (independent collectives + answering gathers — the single-device
