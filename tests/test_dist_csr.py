@@ -82,6 +82,36 @@ def test_partitioned_csr_bitwise_matches_dense(mesh, store, halo):
     assert all(np.isfinite(dense_losses))
 
 
+def test_csr_owner_select_bitwise_matches_pair_answers(mesh, store):
+    """Round-5 owner-side column-select (fanout+1-int answers) vs the pair
+    answers (2·window+2): identical uniforms → identical sampled values →
+    bitwise-equal training losses. Pins the A/B knob so both answer layouts
+    stay covered."""
+    base = TrainConfig(batch_size=32, epochs=1, n_train_samples=(4, 3),
+                       n_val_samples=(4, 3), output_dims=(16, 16),
+                       lr_init=0.01, halo="exact")
+
+    def losses(owner):
+        cfg = base.replace(csr_owner_select=owner)
+        tr, graph, fold_ids, fold_w = PartitionedTrainer.from_store(
+            store, cfg, mesh, csr=True
+        )
+        assert tr.owner_select_on == owner
+        state = tr.init_state(feat_dim=store.feat_dim)
+        out = []
+        for _ in range(4):
+            state, m = tr.train_step(state, graph, fold_ids, fold_w)
+            out.append(float(m["loss"]))
+        # the scanned epoch path too
+        state, m = tr.train_epoch(state, graph, fold_ids, fold_w, n_steps=3)
+        out.append(float(m["loss"]))
+        return out
+
+    on, off = losses(True), losses(False)
+    assert on == off, (on, off)
+    assert all(np.isfinite(on))
+
+
 def test_fit_partitioned_csr_end_to_end(mesh, store):
     """fit_partitioned(csr=True) with exact_val: scanned epochs over CSR
     shards, exact layer-wise validation on DENSIFIED eval shards (round-4:

@@ -135,6 +135,61 @@ class CSRPairRows(CSRAdjRows):
         return out.reshape(shape + (2 * self.window + 2,))
 
 
+def dist_sample_csr_owner_select(
+    indptr: jnp.ndarray,    # (m+1,) shard-local CSR row starts (flat offsets)
+    indices: jnp.ndarray,   # (r, window) flat nnz ids viewed as 2-D rows
+    degrees: jnp.ndarray,   # (m,)
+    window: int,
+    ids: jnp.ndarray,       # (q,) GLOBAL frontier ids queried by this shard
+    u: jnp.ndarray,         # (q, fanout) the requester's uniform draws
+    axis_name: str,
+) -> jnp.ndarray:
+    """CSR sampling hop with the fanout column-select at the OWNER (round 5).
+
+    :class:`CSRPairRows` ships the two unaligned covering rows + offset +
+    degree (``2·window + 2`` ints/query) and lets the requester select its
+    ``fanout`` columns — at the headline graph that answer width costs
+    +10.5% whole-step over dense shards (RESULTS r4 §6). The requester only
+    ever reads ``fanout ≪ window`` values, and the owner can compute the
+    SAME column draws if it has the requester's uniforms — so this ships
+    ``u`` upstream (``fanout`` f32/query, riding the existing id
+    all_gather) and answers with the selected values plus the degree:
+    ``fanout + 1`` ints/query, ``(2w+2)/(f+1)`` ≈ 23× narrower at
+    (window 128, fanout 10). Sampled values are BITWISE-identical to the
+    pair-answer path: same uniforms → same ``min((u·deg).int32, deg−1)``
+    columns → same ``indices[start + col]`` reads; the degree column drives
+    the requester's degree-0 self-loop rule unchanged.
+    """
+    from tpu_sage.ops import row_gather_chunked
+    from tpu_sage.sample.sampler import select_columns
+
+    m = degrees.shape[0]
+    offset = shard_offset(axis_name, m)
+    all_ids = lax.all_gather(ids, axis_name)            # (n_dev, q)
+    all_u = lax.all_gather(u, axis_name)                # (n_dev, q, fanout)
+    flat_ids = all_ids.reshape(-1)
+    flat_u = all_u.reshape(-1, u.shape[-1])
+    local_idx = jnp.clip(flat_ids - offset, 0, m - 1)
+    start = row_gather_chunked(indptr, local_idx)
+    q_row, off = jnp.divmod(start, window)
+    r_deg = row_gather_chunked(degrees, local_idx)
+    deg = jnp.maximum(r_deg, 1)
+    # identical arithmetic to sample_level_distributed's requester-side path
+    cols = jnp.minimum(
+        (flat_u * deg[:, None].astype(flat_u.dtype)).astype(jnp.int32),
+        deg[:, None] - 1,
+    )
+    pair = jnp.concatenate(
+        [row_gather_chunked(indices, q_row),
+         row_gather_chunked(indices, q_row + 1)], axis=1,
+    )                                                   # (N, 2·window)
+    vals = select_columns(pair, off[:, None] + cols)    # (N, fanout)
+    out = jnp.concatenate([vals, r_deg[:, None].astype(vals.dtype)], axis=1)
+    owned = (flat_ids >= offset) & (flat_ids < offset + m)
+    out = jnp.where(owned[:, None], out, 0)
+    return lax.psum_scatter(out, axis_name, scatter_dimension=0, tiled=True)
+
+
 def dist_gather(
     local_table: jnp.ndarray,  # (m, d) rows owned by this shard
     ids: jnp.ndarray,          # (q,) GLOBAL ids queried by this shard

@@ -251,6 +251,34 @@ def build_adj_view(adj_pack, window: int):
     return jnp.concatenate([adj, deg[:, None]], axis=1), deg
 
 
+def make_owner_select(adj_pack, window: int, axis, enabled: bool,
+                      n_chunks: int = 1):
+    """Owner-side column-select closure for CSR-sharded sampling hops
+    (halo.dist_sample_csr_owner_select), or None when the trainer isn't in
+    the CSR × exact-halo configuration. Chunks the exchange into independent
+    query chunks like the exact gather (same ``_chunk_queries`` snap)."""
+    if not (enabled and window > 0):
+        return None
+    indptr, indices, deg = adj_pack
+    from tpu_sage.dist.halo import dist_sample_csr_owner_select
+
+    def os_fn(ids, u):
+        k = _chunk_queries(n_chunks, ids.shape[0])
+        if k <= 1:
+            return dist_sample_csr_owner_select(
+                indptr, indices, deg, window, ids, u, axis)
+        c = ids.shape[0] // k
+        parts = [
+            dist_sample_csr_owner_select(
+                indptr, indices, deg, window,
+                ids[j * c : (j + 1) * c], u[j * c : (j + 1) * c], axis)
+            for j in range(k)
+        ]
+        return jnp.concatenate(parts, axis=0)
+
+    return os_fn
+
+
 def _chunk_queries(n_chunks: int, q: int) -> int:
     """Effective chunk count for a halo exchange of ``q`` queries — the
     single-device descriptor-stream-overlap lever (ops.snap_chunks) applied
@@ -516,15 +544,27 @@ def sample_level_distributed(
     axis: str,
     gather=None,
     pair_window: int = 0,
+    owner_select=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One sampling hop with remote adjacency rows fetched by halo exchange.
 
     Returns ``(neighbor_ids, n_overflow)`` — overflow per the gather's
     ``(rows, count)`` contract (0 for exact/ring halo modes). With
     ``pair_window`` the exchanged rows carry the CSR pair layout and the
-    column select shifts by the row's offset (values identical to dense)."""
+    column select shifts by the row's offset (values identical to dense).
+    ``owner_select`` (CSR + exact halo): ``(ids, u) -> (q, fanout+1)``
+    sampled values ‖ degree with the column-select moved to the OWNER
+    (halo.dist_sample_csr_owner_select) — ~23× narrower answers, values
+    bitwise-identical (the uniforms are drawn HERE with the same key/shape
+    as the requester-side path and shipped)."""
     from tpu_sage.sample.sampler import select_columns
 
+    if owner_select is not None:
+        u = jax.random.uniform(key, (ids.shape[0], fanout))
+        out = owner_select(ids, u)
+        vals, r_deg = out[:, :-1], out[:, -1]
+        nbr = jnp.where(r_deg[:, None] == 0, ids[:, None], vals)
+        return nbr.reshape(-1), _no_overflow()
     if gather is None:
         gather = lambda t, i, a: (dist_gather(t, i, a), _no_overflow())
     rows, ovf = gather(adj_deg, ids, axis)            # (cur, width)
@@ -592,6 +632,15 @@ class PartitionedTrainer:
         # (closes the unchunked exchange's +62% overhead to +0.5%; see
         # TrainConfig.halo_chunks for the sweep table)
         halo_chunks = getattr(config, "halo_chunks", 10)
+        self.halo_chunks = halo_chunks
+        # CSR shards + exact halo: move the sampling hops' fanout
+        # column-select to the OWNER — answers ship fanout+1 ints instead of
+        # the 2·window+2 pair rows (halo.dist_sample_csr_owner_select;
+        # values bitwise-identical). Other halo modes keep pair answers.
+        self.owner_select_on = (
+            csr_window > 0 and self.halo_mode == "exact"
+            and getattr(config, "csr_owner_select", True)
+        )
         self.gather = make_gather(
             self.halo_mode,
             self.n_shards,
@@ -731,6 +780,7 @@ class PartitionedTrainer:
         lrf = fanouts[-1] if gather_last is not None else None
         spe = self.steps_per_epoch
         window = self.csr_window
+        owner_on, hchunks = self.owner_select_on, self.halo_chunks
         perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
 
         def shard_step(params, opt_state, step, key, adj_pack, feats, fscale,
@@ -741,6 +791,7 @@ class PartitionedTrainer:
             # replicated dequant scales (ones when feats is dense)
             my = lax.axis_index(axis)
             adj_deg, deg = build_adj_view(adj_pack, window)
+            os_fn = make_owner_select(adj_pack, window, axis, owner_on, hchunks)
             m = deg.shape[0]
             offset = my * m
             k = jax.random.fold_in(jax.random.fold_in(key, step), my)
@@ -761,7 +812,7 @@ class PartitionedTrainer:
                 for i, f in enumerate(fanouts):
                     nbr, o = sample_level_distributed(
                         ks[i], adj_deg, levels[-1], f, axis, gather,
-                        pair_window=window,
+                        pair_window=window, owner_select=os_fn,
                     )
                     levels.append(nbr)
                     ovf = ovf + o
@@ -830,12 +881,14 @@ class PartitionedTrainer:
         lrf = fanouts[-1] if gather_last is not None else None
         spe = self.steps_per_epoch
         window = self.csr_window
+        owner_on, hchunks = self.owner_select_on, self.halo_chunks
         perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
 
         def shard_epoch(params, opt_state, step0, key, adj_pack, feats, fscale,
                         targets, fold_ids, fold_w):
             my = lax.axis_index(axis)
             adj_deg, deg = build_adj_view(adj_pack, window)
+            os_fn = make_owner_select(adj_pack, window, axis, owner_on, hchunks)
             m = deg.shape[0]
             offset = my * m
             dq = lambda rows: rows.astype(fscale.dtype) * fscale
@@ -867,7 +920,7 @@ class PartitionedTrainer:
                     for i, f in enumerate(fanouts):
                         nbr, o = sample_level_distributed(
                             ks[i], adj_deg, levels[-1], f, axis, gather,
-                            pair_window=window,
+                            pair_window=window, owner_select=os_fn,
                         )
                         levels.append(nbr)
                         ovf = ovf + o
@@ -939,11 +992,13 @@ class PartitionedTrainer:
         gather_last = self.gather_last
         gather_levels = self.gather_levels
         lrf = fanouts[-1] if gather_last is not None else None
+        owner_on, hchunks = self.owner_select_on, self.halo_chunks
 
         def shard_eval(params, key, adj_pack, feats, fscale, targets, ids, mask):
             # ids/mask local: (1, n_chunks, bps); targets local (m, ...)
             my = lax.axis_index(axis)
             adj_deg, deg = build_adj_view(adj_pack, window)
+            os_fn = make_owner_select(adj_pack, window, axis, owner_on, hchunks)
             m = deg.shape[0]
             offset = my * m
             dq = lambda rows: rows.astype(fscale.dtype) * fscale
@@ -958,7 +1013,7 @@ class PartitionedTrainer:
                     levels.append(
                         sample_level_distributed(
                             ks[i], adj_deg, levels[-1], f, axis, gather,
-                            pair_window=window,
+                            pair_window=window, owner_select=os_fn,
                         )[0]
                     )
                 level_feats, _ = gather_level_feats(

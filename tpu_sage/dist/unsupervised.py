@@ -146,14 +146,16 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         q = self.unsup.n_negatives
         n_real = self.n_real_nodes
         window = self.csr_window
+        owner_on, hchunks = self.owner_select_on, self.halo_chunks
         perm_base = jax.random.key(self.config.seed ^ 0x0BA7C4)
 
         def shard_epoch(params, opt_state, step0, key, adj_pack, feats, fscale,
                         fold_ids, fold_w, neg_logits):
             my = lax.axis_index(axis)
-            from tpu_sage.dist.train import build_adj_view
+            from tpu_sage.dist.train import build_adj_view, make_owner_select
 
             adj_deg, _ = build_adj_view(adj_pack, window)
+            os_fn = make_owner_select(adj_pack, window, axis, owner_on, hchunks)
             # dequantize halo-gathered rows at the requester (fscale is ones
             # when feats is dense — see dist/partition.py shard_graph)
             dq = lambda rows: rows.astype(fscale.dtype) * fscale
@@ -180,7 +182,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                 for hop_key in jax.random.split(k_walk, wl):
                     pos, o = sample_level_distributed(
                         hop_key, adj_deg, pos, 1, axis, gather,
-                        pair_window=window,
+                        pair_window=window, owner_select=os_fn,
                     )
                     walk_ovf = walk_ovf + o
                 # negatives: global range, uniform or degree-smoothed
@@ -201,7 +203,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                     for i, f in enumerate(fanouts):
                         nbr, o = sample_level_distributed(
                             ks[i], adj_deg, levels[-1], f, axis, gather,
-                            pair_window=window,
+                            pair_window=window, owner_select=os_fn,
                         )
                         levels.append(nbr)
                         ovf = ovf + o
@@ -298,10 +300,13 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
 
         def shard_embed(params, key, adj_pack, feats, fscale, ids):
             # ids local: (1, n_chunks, bps)
-            from tpu_sage.dist.train import build_adj_view
+            from tpu_sage.dist.train import build_adj_view, make_owner_select
 
             my = lax.axis_index(axis)
             adj_deg, _ = build_adj_view(adj_pack, window)
+            os_fn = make_owner_select(
+                adj_pack, window, axis, self.owner_select_on, self.halo_chunks
+            )
             dq = lambda rows: rows.astype(fscale.dtype) * fscale
             key = jax.random.fold_in(key, my)
 

@@ -128,6 +128,12 @@ class TrainConfig:
     # resolution when the winner's margin is inside the measured repeat
     # noise (dist/train.py::measure_halo_mode)
     halo_capacity_factor: float = 2.0  # bucketed capacity = factor*q/n_shards
+    csr_owner_select: bool = True  # CSR shards + exact halo: move the
+    # sampling hops' fanout column-select to the OWNER — the requester ships
+    # its uniforms (fanout f32/query) and answers come back fanout+1 ints
+    # wide instead of the 2·window+2 CSR pair rows (~23× narrower at
+    # (window 128, fanout 10)); sampled values bitwise-identical
+    # (halo.dist_sample_csr_owner_select). False restores pair answers for A/B
     halo_chunks: int = 10  # split each exact halo exchange into k equal query
     # chunks (independent collectives + answering gathers — the single-device
     # descriptor-overlap lever applied inside shard_map). Measured round 4 at
