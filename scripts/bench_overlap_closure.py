@@ -69,38 +69,38 @@ def main():
         for n in (batch, n1, n2)
     ]
 
-    def feat_gathers(levels):
+    def feat_gathers(g, levels):
         acc = jnp.float32(0.0)
         for l in levels[:-1]:
-            rows = row_gather_chunked(graph.feats, l, form="plain", n_chunks=nc)
+            rows = row_gather_chunked(g.feats, l, form="plain", n_chunks=nc)
             acc += jnp.sum(rows.astype(jnp.float32))
         means = row_gather_fanout_mean(
-            graph.feats, levels[-1], fanouts[-1], form="plain", n_chunks=nc
+            g.feats, levels[-1], fanouts[-1], form="plain", n_chunks=nc
         )
         return acc + jnp.sum(means.astype(jnp.float32))
 
-    def v_sample(ids, key, f0, f1, f2):
-        levels = graph_sample_tree(key, graph, ids, fanouts)
+    def v_sample(g, ids, key, f0, f1, f2):
+        levels = graph_sample_tree(key, g, ids, fanouts)
         return jnp.sum(levels[-1]).astype(jnp.float32)
 
-    def v_feats(ids, key, f0, f1, f2):
-        return feat_gathers([f0, f1, f2])
+    def v_feats(g, ids, key, f0, f1, f2):
+        return feat_gathers(g, [f0, f1, f2])
 
-    def v_dependent(ids, key, f0, f1, f2):
-        levels = graph_sample_tree(key, graph, ids, fanouts)
-        return feat_gathers(levels)
+    def v_dependent(g, ids, key, f0, f1, f2):
+        levels = graph_sample_tree(key, g, ids, fanouts)
+        return feat_gathers(g, levels)
 
-    def v_independent(ids, key, f0, f1, f2):
-        levels = graph_sample_tree(key, graph, ids, fanouts)
+    def v_independent(g, ids, key, f0, f1, f2):
+        levels = graph_sample_tree(key, g, ids, fanouts)
         return jnp.sum(levels[-1]).astype(jnp.float32) + feat_gathers(
-            [f0, f1, f2]
+            g, [f0, f1, f2]
         )
 
     def scan_over(body):
         @jax.jit
-        def run(ids_b, keys, f0b, f1b, f2b):
+        def run(g, ids_b, keys, f0b, f1b, f2b):
             def step(c, xs):
-                return c + body(*xs), None
+                return c + body(g, *xs), None
             c, _ = jax.lax.scan(step, jnp.float32(0.0),
                                 (ids_b, keys, f0b, f1b, f2b))
             return c
@@ -111,11 +111,11 @@ def main():
                        ("C_dependent", v_dependent),
                        ("D_independent", v_independent)]:
         run = scan_over(body)
-        c = run(ids_b, keys, *fixed); float(np.asarray(c))
+        c = run(graph, ids_b, keys, *fixed); float(np.asarray(c))
         ts = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            c = run(ids_b, keys, *fixed); float(np.asarray(c))
+            c = run(graph, ids_b, keys, *fixed); float(np.asarray(c))
             ts.append((time.perf_counter() - t0) / K)
         results[name] = float(np.median(ts)) * 1e3
         print(json.dumps({"variant": name,

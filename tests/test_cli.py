@@ -58,6 +58,38 @@ def test_config_preset_with_explicit_default_value(capsys, tmp_path):
     assert cfg["lr_schedule"] == "linear"  # preset value kept
 
 
+def test_oom_exits_with_capacity_advice(monkeypatch, capsys):
+    """A RESOURCE_EXHAUSTED during training surfaces the capacity envelope
+    and the storage remedies instead of a raw XLA traceback (round 5;
+    SURVEY §7.3 #6 HBM discipline)."""
+    import tpu_sage.cli as cli_mod
+
+    def boom(args, problem, config, log):
+        raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory allocating "
+                           "12345 bytes")
+
+    monkeypatch.setattr(cli_mod, "_run_fit", boom)
+    rc = cli_mod.main(["--synthetic", "sbm", "--synthetic-nodes", "120",
+                       "--n-train-samples", "3,2", "--n-val-samples", "3,2",
+                       "--output-dims", "8,8", "--batch-size", "16",
+                       "--epochs", "1"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "does not fit device memory" in err
+    assert "--csr-adjacency" in err and "--feature-int8" in err
+
+    # other errors still propagate unwrapped
+    def other(args, problem, config, log):
+        raise RuntimeError("something else")
+
+    monkeypatch.setattr(cli_mod, "_run_fit", other)
+    with pytest.raises(RuntimeError, match="something else"):
+        cli_mod.main(["--synthetic", "sbm", "--synthetic-nodes", "120",
+                      "--n-train-samples", "3,2", "--n-val-samples", "3,2",
+                      "--output-dims", "8,8", "--batch-size", "16",
+                      "--epochs", "1"])
+
+
 def test_parse_ints():
     args = parse_args(["--synthetic", "sbm", "--n-train-samples", "5,3,2"])
     assert args.n_train_samples == "5,3,2"

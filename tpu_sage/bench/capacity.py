@@ -1,0 +1,155 @@
+"""Single-chip HBM capacity model: largest trainable/servable graph (round 5).
+
+The 2.45M-node OGBN run proves one point of the envelope; users need the
+curve (VERDICT r4 #6). This models the resident bytes of every storage
+configuration and inverts it for the max node count at a given feature dim;
+``scripts/bench_capacity.py`` probes the model on the real chip (a training
+run near the predicted limit, and a graceful error past it).
+
+What is resident during ``Trainer`` training (one graph on device —
+``fit`` additionally uploads the FULL-edge eval graph; pass
+``n_graphs=2`` for that product path):
+
+- adjacency: dense ``n·max_degree`` int32, or CSR ``nnz + window`` ids +
+  ``(n+1)`` int32 indptr (nnz ≤ n·max_degree; the window padding is ≤ 2
+  extra rows)
+- degrees ``n`` int32, targets ``n`` int32/f32 (d_t columns)
+- features: ``n·d`` f32/bf16, or int8 ``n·d`` + ``d`` f32 scales
+- per-step transient: gathered level rows (≈ B·(1+f1+f1·f2)·d·feat_bytes
+  — the deepest level ships means when fused, but its raw chunks coexist
+  in flight; keep the full tree as the conservative bound), backward
+  scatter buffer of the same size, adjacency-row gathers, and XLA
+  workspace. Modeled as 2.2× the tree bytes + fixed slack.
+
+Exact full-graph inference (serving): features + FULL adjacency + two
+layer-activation tables ``n·width·4`` (current + next) + chunk workspace.
+
+Constants below are v5e (16 GiB); ``hbm_bytes`` overridable everywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+HBM_BYTES = 16 * 1024**3          # v5e
+XLA_SLACK_BYTES = int(1.2e9)      # allocator headroom + compiled-program
+# workspace measured indirectly: the 2.45M-node × 100-feat OGBN config
+# (predicted ~1.6 GB resident) and the 233k × 602 headline (~0.9 GB) both
+# run with >10 GB modeled free; the slack absorbs fragmentation and the
+# per-program scratch XLA reserves. Deliberately conservative.
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityConfig:
+    feat_dim: int = 602
+    max_degree: int = 128
+    avg_degree: int = 128         # CSR nnz/n (= max_degree when rows are full)
+    batch_size: int = 512
+    fanouts: tuple = (25, 10)
+    feature: str = "bfloat16"     # "float32" | "bfloat16" | "int8"
+    adjacency: str = "dense"      # "dense" | "csr"
+    mode: str = "train"           # "train" | "infer"
+    out_width: int = 256          # exact inference activation width (concat)
+    n_graphs: int = 1             # 2 = the fit() path (train + full eval graph)
+
+
+FEAT_BYTES = {"float32": 4, "bfloat16": 2, "int8": 1}
+
+
+def resident_bytes(n_nodes: int, cfg: CapacityConfig) -> int:
+    fb = FEAT_BYTES[cfg.feature]
+    n = n_nodes
+    feats = n * cfg.feat_dim * fb + (cfg.feat_dim * 4 if cfg.feature == "int8" else 0)
+    if cfg.adjacency == "dense":
+        adj = n * cfg.max_degree * 4
+    else:
+        adj = n * cfg.avg_degree * 4 + (n + 1) * 4
+    fixed = feats + cfg.n_graphs * adj + n * 4 + n * 4   # + degrees + targets
+    if cfg.mode == "infer":
+        transient = 2 * n * cfg.out_width * 4
+        b, f1 = 4096, cfg.max_degree
+        transient += 3 * b * f1 * max(cfg.feat_dim * fb, cfg.out_width * 4)
+    else:
+        f1, f2 = cfg.fanouts
+        tree_rows = cfg.batch_size * (1 + f1 + f1 * f2)
+        # compute in bf16 regardless of storage (dequantized rows are bf16)
+        transient = int(2.2 * tree_rows * cfg.feat_dim * max(fb, 2))
+        transient += cfg.batch_size * (1 + f1) * (cfg.max_degree + 1) * 4
+    return fixed + transient
+
+
+def max_nodes(cfg: CapacityConfig, hbm_bytes: int = HBM_BYTES) -> int:
+    """Largest n_nodes whose modeled residency fits ``hbm_bytes`` − slack."""
+    budget = hbm_bytes - XLA_SLACK_BYTES
+    lo, hi = 1, 1
+    while resident_bytes(hi, cfg) < budget:
+        hi *= 2
+    while lo < hi - 1:
+        mid = (lo + hi) // 2
+        if resident_bytes(mid, cfg) <= budget:
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
+def capacity_table(hbm_bytes: int = HBM_BYTES):
+    """The envelope: max nodes per (storage × feature × mode) at two
+    representative feature widths (Reddit's 602, OGBN-products' 100)."""
+    rows = []
+    for feat_dim, max_deg in ((602, 128), (100, 64)):
+        for adjacency in ("dense", "csr"):
+            for feature in ("bfloat16", "int8"):
+                for mode in ("train", "infer"):
+                    cfg = CapacityConfig(
+                        feat_dim=feat_dim, max_degree=max_deg,
+                        avg_degree=max_deg, feature=feature,
+                        adjacency=adjacency, mode=mode,
+                    )
+                    rows.append({
+                        "feat_dim": feat_dim, "max_degree": max_deg,
+                        "adjacency": adjacency, "feature": feature,
+                        "mode": mode, "max_nodes": max_nodes(cfg, hbm_bytes),
+                    })
+    return rows
+
+
+def oom_advice(n_nodes: int, feat_dim: int, max_degree: int,
+               csr: bool, feature_int8: bool) -> str:
+    """Actionable message for a RESOURCE_EXHAUSTED during graph upload or
+    the first training step (wired into the CLI)."""
+    tips = []
+    if not csr:
+        tips.append("--csr-adjacency (adjacency at nnz instead of "
+                    "n*max_degree ids; measured 93% of dense throughput)")
+    if not feature_int8:
+        tips.append("--feature-int8 (features at 1 byte/element + per-column "
+                    "scales; lossy but quality-verified at Reddit scale)")
+    tips.append("--partitioned over more chips (node-sharded storage)")
+    est = resident_bytes(
+        n_nodes,
+        CapacityConfig(feat_dim=feat_dim, max_degree=max_degree,
+                       avg_degree=max_degree,
+                       feature="int8" if feature_int8 else "bfloat16",
+                       adjacency="csr" if csr else "dense"),
+    )
+    return (
+        f"graph does not fit device memory: ~{est / 1e9:.1f} GB modeled for "
+        f"{n_nodes} nodes x {feat_dim} feats (max_degree {max_degree}, "
+        f"{'csr' if csr else 'dense'} adjacency, "
+        f"{'int8' if feature_int8 else 'dense'} features). Options: "
+        + "; ".join(tips)
+        + ". See `python -m tpu_sage.bench.capacity` for the envelope."
+    )
+
+
+def main():
+    print(json.dumps({"hbm_gb": HBM_BYTES / 1024**3,
+                      "slack_gb": XLA_SLACK_BYTES / 1e9}))
+    for row in capacity_table():
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

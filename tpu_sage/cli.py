@@ -358,6 +358,23 @@ def main(argv=None):
         print("error: --checkpoint-every requires --checkpoint-path",
               file=sys.stderr)
         return 2
+    try:
+        return _run_fit(args, problem, config, log)
+    except Exception as e:  # graceful capacity error (SURVEY §7.3 #6)
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in msg:
+            raise
+        from tpu_sage.bench.capacity import oom_advice
+
+        st = problem.store
+        print("error: " + oom_advice(
+            st.n_nodes, st.feat_dim, st.adj.shape[1],
+            csr=args.csr_adjacency, feature_int8=args.feature_int8,
+        ), file=sys.stderr)
+        return 1
+
+
+def _run_fit(args, problem, config, log):
     if args.partitioned and args.unsupervised:
         from tpu_sage.dist.unsupervised import fit_unsupervised_partitioned
         from tpu_sage.train.unsupervised import UnsupConfig
@@ -400,6 +417,8 @@ def main(argv=None):
             csr=args.csr_adjacency,
         )
     else:
+        from tpu_sage.train.trainer import fit
+
         trainer, state, history = fit(
             problem, config, eval_every_epoch=not args.no_eval,
             resume_from=args.checkpoint_path, log=log,
