@@ -63,66 +63,69 @@ def main():
     q = unsup.n_negatives
     form, nc = config.gather_form, config.gather_chunks
 
-    def make_roots(ids, key):
+    # graph rides as a jit ARGUMENT everywhere (a closure capture would
+    # inline the 280 MB feature table as an HLO constant and blow the axon
+    # remote_compile request-size limit — hit by the round-5 overlap script)
+    def make_roots(g, ids, key):
         k_walk, k_neg, k_tree = jax.random.split(key, 3)
-        pos = graph_random_walk(k_walk, graph, ids, unsup.walk_length)
+        pos = graph_random_walk(k_walk, g, ids, unsup.walk_length)
         neg = jax.random.randint(
-            k_neg, (batch * q,), 0, graph.n_nodes).astype(jnp.int32)
+            k_neg, (batch * q,), 0, g.n_nodes).astype(jnp.int32)
         return jnp.concatenate([ids, pos, neg]), k_tree
 
-    def v_empty(params, ids, key):
+    def v_empty(params, g, ids, key):
         return jnp.sum(ids).astype(jnp.float32) * 0
 
-    def v_walk(params, ids, key):
-        roots, _ = make_roots(ids, key)
+    def v_walk(params, g, ids, key):
+        roots, _ = make_roots(g, ids, key)
         return jnp.sum(roots).astype(jnp.float32)
 
-    def v_sample(params, ids, key):
-        roots, k_tree = make_roots(ids, key)
-        levels = graph_sample_tree(k_tree, graph, roots, fanouts)
+    def v_sample(params, g, ids, key):
+        roots, k_tree = make_roots(g, ids, key)
+        levels = graph_sample_tree(k_tree, g, roots, fanouts)
         return jnp.sum(levels[-1]).astype(jnp.float32)
 
-    def v_gather_model(params, ids, key):
+    def v_gather_model(params, g, ids, key):
         # the encode() formulation at the unsup defaults: masked form keeps
         # ONE unchunked gather per non-deepest level (nn/model.py::encode);
         # the deepest level goes through the fused masked fanout-mean
-        roots, k_tree = make_roots(ids, key)
-        levels = graph_sample_tree(k_tree, graph, roots, fanouts)
+        roots, k_tree = make_roots(g, ids, key)
+        levels = graph_sample_tree(k_tree, g, roots, fanouts)
         acc = jnp.float32(0.0)
         for l in levels[:-1]:
-            acc += jnp.sum(row_gather(graph.feats, l, form=form)
+            acc += jnp.sum(row_gather(g.feats, l, form=form)
                            .astype(jnp.float32))
         means = row_gather_fanout_mean(
-            graph.feats, levels[-1], fanouts[-1], form=form, n_chunks=nc
+            g.feats, levels[-1], fanouts[-1], form=form, n_chunks=nc
         )
         return acc + jnp.sum(means.astype(jnp.float32))
 
-    def v_encode(params, ids, key):
-        roots, k_tree = make_roots(ids, key)
-        levels = graph_sample_tree(k_tree, graph, roots, fanouts)
-        z = model.apply(params, levels, graph.feats, method=model.encode)
+    def v_encode(params, g, ids, key):
+        roots, k_tree = make_roots(g, ids, key)
+        levels = graph_sample_tree(k_tree, g, roots, fanouts)
+        z = model.apply(params, levels, g.feats, method=model.encode)
         return jnp.sum(z.astype(jnp.float32))
 
-    def v_nce(params, ids, key):
-        roots, k_tree = make_roots(ids, key)
-        levels = graph_sample_tree(k_tree, graph, roots, fanouts)
-        z = model.apply(params, levels, graph.feats, method=model.encode)
+    def v_nce(params, g, ids, key):
+        roots, k_tree = make_roots(g, ids, key)
+        levels = graph_sample_tree(k_tree, g, roots, fanouts)
+        z = model.apply(params, levels, g.feats, method=model.encode)
         z_u, z_p = z[:batch], z[batch : 2 * batch]
         z_n = z[2 * batch :].reshape(batch, q, -1)
         return nce_loss(z_u, z_p, z_n)
 
-    def v_backward(params, ids, key):
+    def v_backward(params, g, ids, key):
         def loss_of(p):
-            return v_nce(p, ids, key)
+            return v_nce(p, g, ids, key)
         loss, grads = jax.value_and_grad(loss_of)(params)
         leaves = jax.tree_util.tree_leaves(grads)
-        return loss + sum(jnp.sum(g).astype(jnp.float32) for g in leaves)
+        return loss + sum(jnp.sum(g_).astype(jnp.float32) for g_ in leaves)
 
     def scan_over(body):
         @jax.jit
-        def run(params, ids_b, keys):
+        def run(params, g, ids_b, keys):
             def step(c, xs):
-                return c + body(params, *xs), None
+                return c + body(params, g, *xs), None
             c, _ = jax.lax.scan(step, jnp.float32(0.0), (ids_b, keys))
             return c
         return run
@@ -135,11 +138,11 @@ def main():
     results = {}
     for name, body in variants:
         run = scan_over(body)
-        c = run(params, ids_b, keys); float(np.asarray(c))
+        c = run(params, graph, ids_b, keys); float(np.asarray(c))
         ts = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            c = run(params, ids_b, keys); float(np.asarray(c))
+            c = run(params, graph, ids_b, keys); float(np.asarray(c))
             ts.append((time.perf_counter() - t0) / K)
         results[name] = float(np.median(ts))
         print(json.dumps({"variant": name,
