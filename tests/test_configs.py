@@ -121,6 +121,13 @@ def test_knob_variants_match_default_numerics():
     assert final_loss(fuse_last="off") == pytest.approx(base, rel=1e-4)
     assert final_loss(gather_chunks=1) == pytest.approx(base, rel=1e-4)
     assert final_loss(gather_form="masked") == pytest.approx(base, rel=1e-4)
+    # round-5 mixed per-level forms: same values, different lowerings
+    assert final_loss(gather_form="masked_chunked") == pytest.approx(
+        base, rel=1e-4)
+    assert final_loss(gather_form="masked_chunked",
+                      gather_form_deep="plain") == pytest.approx(base, rel=1e-4)
+    assert final_loss(gather_form="masked",
+                      gather_form_deep="plain") == pytest.approx(base, rel=1e-4)
 
 
 def test_checkpoint_records_config(tmp_path):

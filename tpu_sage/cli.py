@@ -105,7 +105,7 @@ def parse_args(argv=None):
     ap.add_argument("--fuse-first-layer", action="store_true",
                     help="whole-table projection first layer (mean+identity; "
                          "custom-VJP training path — see RESULTS.md tradeoffs)")
-    ap.add_argument("--gather-form", default=None, choices=["masked", "plain"],
+    ap.add_argument("--gather-form", default=None, choices=["masked", "plain", "masked_chunked"],
                     help="TPU gather lowering (default: plain everywhere — "
                          "the round-3 measured winner; 'masked' forces the "
                          "materialized round-2d form for A/B — RESULTS.md)")

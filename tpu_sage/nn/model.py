@@ -114,7 +114,11 @@ class GSSupervised(nn.Module):
     # Measured-perf knobs (TrainConfig fields of the same names; the
     # TPU_SAGE_* env vars in tpu_sage.overrides remain whole-program A/B
     # overrides):
-    gather_form: Optional[str] = None  # None = per-aggregator policy (encode)
+    gather_form: Optional[str] = None  # None = per-aggregator policy (encode);
+    # "plain" | "masked" | "masked_chunked" (masked non-deepest levels,
+    # chunked — the round-5 unsupervised winner candidate)
+    gather_form_deep: Optional[str] = None  # deepest fused level's form
+    # override ("plain" | "masked"); None = follow gather_form's base
     gather_chunks: int = 10            # descriptor-stream overlap chunk count
     fuse_last: str = "auto"            # deepest-level fused gather+summary:
     # "auto" (on, except lstm — measured loss), "off", "all" (force incl. lstm)
@@ -162,7 +166,16 @@ class GSSupervised(nn.Module):
         # rows regressed 36% there, the concat re-materialization forfeits
         # the defusion win).
         form = overrides.gather_form(self.gather_form) or "plain"
-        if form == "masked":
+        # round-5 split: the whole-program form conflated two independent
+        # choices — the NON-deepest levels' lowering and the deepest fused
+        # level's. "masked_chunked" chunks the masked non-deepest gathers
+        # (the unsup tree's 153,600-row L1 level is one serial descriptor
+        # stream under plain "masked" — bench_logs/r5_unsup_breakdown.log);
+        # ``gather_form_deep`` overrides the deepest level independently.
+        chunk_masked = form == "masked_chunked"
+        base_form = "masked" if chunk_masked else form
+        deep_form = self.gather_form_deep or base_form
+        if base_form == "masked" and not chunk_masked:
             gather = row_gather
         else:
             gather = lambda t, i, form: row_gather_chunked(
@@ -194,7 +207,7 @@ class GSSupervised(nn.Module):
             and (self.aggregator_class != "lstm" or fl == "all")
         )
         gathered = [
-            None if feats is None else gather(feats, ids, form=form)
+            None if feats is None else gather(feats, ids, form=base_form)
             for ids in (levels[:-1] if fuse_last else levels)
         ]
         if not fuse_last:
@@ -203,14 +216,15 @@ class GSSupervised(nn.Module):
         if self.aggregator_class in ("mean", "gcn"):
             gathered.append(
                 row_gather_fanout_mean(
-                    feats, levels[-1], fanout, form=form,
+                    feats, levels[-1], fanout, form=deep_form,
                     n_chunks=self.gather_chunks,
                     int8_summean=self.int8_summean,
                 )
             )
         else:
             gathered.append(
-                self._deepest_summary(levels, gathered[-1], feats, fanout, form)
+                self._deepest_summary(levels, gathered[-1], feats, fanout,
+                                      deep_form)
             )
         return self.encode_gathered(levels, gathered, last_reduced_fanout=fanout)
 

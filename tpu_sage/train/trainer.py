@@ -80,7 +80,12 @@ class TrainConfig:
     # TPU_SAGE_* env vars remain whole-program overrides — tpu_sage.overrides):
     gather_form: Optional[str] = None  # None = "plain" everywhere (round-3
     # winner at gather_chunks=8: 61.46M vs 59.70M masked on the mean
-    # headline); "masked" forces the round-2d materialized lowering for A/B
+    # headline); "masked" forces the round-2d materialized lowering for A/B;
+    # "masked_chunked" (round 5) chunks the masked non-deepest level
+    # gathers — the unsupervised tree's 153,600-row L1 level is one serial
+    # descriptor stream under plain "masked"
+    gather_form_deep: Optional[str] = None  # deepest fused level's form
+    # override ("plain" | "masked"); None = follow gather_form's base form
     gather_chunks: Optional[int] = None  # split big gathers into k
     # independent ops so their descriptor streams overlap. None = measured
     # per-workload default: 10 for supervised training (round-3 sweep: 62.3M
@@ -214,6 +219,7 @@ def build_model(config: TrainConfig, n_nodes: int, n_classes: int) -> GSSupervis
         dtype=None if config.compute_dtype == "float32" else config.compute_dtype,
         fuse_first_layer=config.fuse_first_layer,
         gather_form=config.gather_form,
+        gather_form_deep=getattr(config, "gather_form_deep", None),
         gather_chunks=(10 if config.gather_chunks is None
                        else config.gather_chunks),
         fuse_last=config.fuse_last,
