@@ -10,6 +10,10 @@ timeout 3000 python scripts/bench_unsup_gather_ab.py --k 30 --reps 3 \
   > "$LOG/r5_unsup_gather_ab.log" 2>&1
 echo "unsup-ab exit=$?" | tee -a "$LOG/r5_queue.log"
 
+timeout 4800 python scripts/bench_unsup_whole_ab.py --k 30 --reps 3 \
+  > "$LOG/r5_unsup_whole_ab.log" 2>&1
+echo "unsup-whole-ab exit=$?" | tee -a "$LOG/r5_queue.log"
+
 timeout 2400 python scripts/bench_pool_overlap.py --k 100 --reps 3 \
   > "$LOG/r5_pool_overlap.log" 2>&1
 echo "pool-overlap exit=$?" | tee -a "$LOG/r5_queue.log"
