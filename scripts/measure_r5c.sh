@@ -6,6 +6,10 @@ LOG=${1:-bench_logs}
 cd "$(dirname "$0")/.."
 echo "=== measure_r5c start $(date -u +%FT%TZ) ===" | tee -a "$LOG/r5_queue.log"
 
+timeout 4800 python scripts/bench_unsup_chunk_sweep.py \
+  > "$LOG/r5_unsup_chunk_sweep.log" 2>&1
+echo "unsup-chunk-sweep exit=$?" | tee -a "$LOG/r5_queue.log"
+
 for agg in gcn mean_pool max_pool; do
   BENCH_AGG=$agg timeout 1800 python scripts/bench_infer.py \
     > "$LOG/r5_infer_$agg.log" 2>&1
