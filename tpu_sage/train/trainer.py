@@ -89,7 +89,8 @@ class TrainConfig:
     gather_chunks: Optional[int] = None  # split big gathers into k
     # independent ops so their descriptor streams overlap. None = measured
     # per-workload default: 10 for supervised training (round-3 sweep: 62.3M
-    # vs 61.8 at 8, 57.4 at 4), 8 for the (10×-larger) unsupervised NCE tree
+    # vs 61.8 at 8, 57.4 at 4), masked_chunked@48 for the (12×-larger)
+    # unsupervised NCE tree (round-5 sweep: 52.8-53.1M sampled-edges/s)
     # — resolved by the fit loops; explicit values apply everywhere
     fuse_last: str = "auto"  # deepest-level fused gather+summary:
     # "auto" (on, except lstm — measured −7%), "off", "all"

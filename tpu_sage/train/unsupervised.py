@@ -109,16 +109,21 @@ def unsup_gather_defaults(config: TrainConfig) -> TrainConfig:
     """Measured gather defaults for the UNSUPERVISED workload: the NCE
     step's sampled tree is ~12× the supervised one (anchors∪positives∪
     negatives roots), and at that size the masked lowering wins at every
-    chunk count. Round-4 full grid (bench_logs/r4_unsup_sweep.log, 2×6
-    form×chunks + fuse_last arm): masked 6/8/12/16/24/32 →
-    34.8/45.6/35.3/45.9/**48.7**/46.4M sampled-edges/s; plain tops out at
-    40.0M (@24); fuse_last=off at the winner drops to 35.5M (fusion +37%,
-    stays auto). masked@24 supersedes round 3's masked@8 (44.6M).
-    Applied only where the user left the knobs unset."""
+    chunk count. Round-4 full grid (bench_logs/r4_unsup_sweep.log):
+    masked@24 = 48.7M sampled-edges/s beat plain at every count.
+    **Round-5 revision:** the stage breakdown
+    (bench_logs/r5_unsup_breakdown.log) showed the masked form's UNCHUNKED
+    153,600-row L1 gather is one serial descriptor stream;
+    ``masked_chunked`` splits it, and the whole-step sweep
+    (r5_unsup_whole_ab.log + r5_unsup_chunk_sweep.log) puts the optimum at
+    **masked_chunked@48 = 52.8-53.1M (+9% over masked@24)**; 32/64/96/128 →
+    46.1/50.0/50.4/50.2M; the deepest fused level stays masked (plain loses
+    7.5 ms whole-step at this scale). Applied only where the user left the
+    knobs unset."""
     if config.gather_form is None:
-        config = config.replace(gather_form="masked")
+        config = config.replace(gather_form="masked_chunked")
     if config.gather_chunks is None:
-        config = config.replace(gather_chunks=24)
+        config = config.replace(gather_chunks=48)
     return config
 
 
