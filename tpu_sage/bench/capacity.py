@@ -32,12 +32,17 @@ from __future__ import annotations
 import dataclasses
 import json
 
-HBM_BYTES = 16 * 1024**3          # v5e
-XLA_SLACK_BYTES = int(1.2e9)      # allocator headroom + compiled-program
-# workspace measured indirectly: the 2.45M-node × 100-feat OGBN config
-# (predicted ~1.6 GB resident) and the 233k × 602 headline (~0.9 GB) both
-# run with >10 GB modeled free; the slack absorbs fragmentation and the
-# per-program scratch XLA reserves. Deliberately conservative.
+HBM_BYTES = 16 * 1024**3          # v5e hardware
+XLA_SLACK_BYTES = int(7.2e9)      # MEASURED round 5 (bench_logs/r5_capacity_*):
+# the usable budget through this stack is ~10 GB of modeled residency —
+# every configuration ran at ≤9.74 GB modeled and failed between 10.47 and
+# 11.3 GB, independent of storage (the failure surfaces as an XLA
+# compile-time HBM-planning error via the axon compile helper). Verified
+# points, dense-bf16 602-wide train: 5.43M nodes (9.74 GB) OK / 5.85M
+# (10.47 GB) FAIL / 6.33M (11.3 GB) FAIL; int8 9.73M (11.3 GB) FAIL; CSR
+# 6.32M (11.3 GB) FAIL; exact-infer 1.87M OK / 2.61M FAIL. The slack
+# covers libtpu/runtime reservations + program transients beyond the
+# model; on a differently-provisioned host, override via hbm_bytes.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,6 +118,23 @@ def capacity_table(hbm_bytes: int = HBM_BYTES):
                         "mode": mode, "max_nodes": max_nodes(cfg, hbm_bytes),
                     })
     return rows
+
+
+def over_budget(n_nodes: int, feat_dim: int, max_degree: int,
+                csr: bool, feature_int8: bool,
+                hbm_bytes: int = HBM_BYTES) -> bool:
+    """Does the modeled training residency exceed the measured usable
+    budget? Used by the CLI to classify an opaque compile failure (the axon
+    backend surfaces HBM-planning failures as an HTTP-500 compile-helper
+    crash, not a RESOURCE_EXHAUSTED string)."""
+    est = resident_bytes(
+        n_nodes,
+        CapacityConfig(feat_dim=feat_dim, max_degree=max_degree,
+                       avg_degree=max_degree,
+                       feature="int8" if feature_int8 else "bfloat16",
+                       adjacency="csr" if csr else "dense"),
+    )
+    return est > hbm_bytes - XLA_SLACK_BYTES
 
 
 def oom_advice(n_nodes: int, feat_dim: int, max_degree: int,
