@@ -18,7 +18,7 @@ from typing import List, Sequence
 import jax
 import jax.numpy as jnp
 
-from tpu_sage.ops import row_gather
+from tpu_sage.ops import row_gather, row_gather_chunked
 
 
 def uniform_neighbor_sample(
@@ -39,13 +39,24 @@ def uniform_neighbor_sample(
 
     Returns:
       ``(B, n_samples)`` int32 neighbor ids.
+
+    The hop gathers are CHUNKED since round 5 (bit-identical; below the
+    4096-row threshold — every supervised hop but the deepest — they fall
+    back to one gather): the unsupervised tree's hop-2 frontier is 153,600
+    queries and its degree/adjacency gathers were single serial descriptor
+    streams at 20.0 ns/row (bench_logs/r5_unsup_breakdown.log). Measured
+    whole-step: a WASH on both workloads (supervised 62.29M unchanged,
+    unsup 53.11M vs 53.07M — bench_logs/r5_sampler_chunk.log); kept because
+    it is free, matches the framework-wide lowering policy, and the stage
+    rate question is settled either way. ``TPU_SAGE_GATHER_CHUNKS=1``
+    restores the unchunked form whole-program.
     """
     ids = ids.astype(jnp.int32)
-    deg = jnp.maximum(row_gather(degrees, ids), 1)  # degree-0 -> col 0 == self pad
+    deg = jnp.maximum(row_gather_chunked(degrees, ids), 1)  # degree-0 -> col 0 == self pad
     u = jax.random.uniform(key, (ids.shape[0], n_samples))
     # floor(u * deg) in [0, deg); guard the u==1.0-epsilon edge with a min.
     cols = jnp.minimum((u * deg[:, None].astype(u.dtype)).astype(jnp.int32), deg[:, None] - 1)
-    rows = row_gather(adj, ids)  # (B, max_degree) — contiguous 512B+ row reads
+    rows = row_gather_chunked(adj, ids)  # (B, max_degree) — contiguous 512B+ row reads
     return select_columns(rows, cols)
 
 
