@@ -23,6 +23,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--logits", action="store_true")
     ap.add_argument("--chunk", type=int, default=4096)
+    ap.add_argument("--out-dtype", default="float32",
+                    choices=["float32", "float16"])
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -67,6 +69,9 @@ def main():
     t_infer = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    if args.out_dtype != "float32":
+        out = out.astype(args.out_dtype)  # on device — halves the fetch bytes
+        out.block_until_ready()
     arr = np.asarray(out)
     np.save("/tmp/r5_export_out.npy", arr)
     t_write = time.perf_counter() - t0

@@ -77,6 +77,28 @@ def test_export_embeddings_and_logits(trained_checkpoint, capsys):
     assert acc > 0.6, acc
 
 
+def test_export_out_dtype_f16(trained_checkpoint, capsys):
+    """--out-dtype float16 halves the device->host fetch and the artifact
+    (the measured end-to-end bottleneck at Reddit scale — RESULTS r5 §8);
+    values must match the f32 export to f16 resolution on both the
+    single-device and partitioned paths."""
+    tmp, ckpt = trained_checkpoint
+    f32_path, f16_path = tmp / "emb32.npy", tmp / "emb16.npy"
+    _run_export(ckpt, f32_path, [])
+    _run_export(ckpt, f16_path, ["--out-dtype", "float16"])
+    a, b = np.load(f32_path), np.load(f16_path)
+    assert b.dtype == np.float16 and b.shape == a.shape
+    np.testing.assert_allclose(b.astype(np.float32), a, rtol=2e-3, atol=2e-3)
+
+    p16 = tmp / "emb16_part.npy"
+    _run_export(ckpt, p16, ["--partitioned", "--chunk", "16",
+                            "--out-dtype", "float16"])
+    capsys.readouterr()
+    c = np.load(p16)
+    assert c.dtype == np.float16
+    np.testing.assert_allclose(c.astype(np.float32), a, rtol=2e-3, atol=2e-3)
+
+
 def test_export_partitioned_matches_single_device(trained_checkpoint, capsys):
     """--partitioned export (sharded exact inference over all 8 devices)
     writes the same embeddings as the single-device exporter (VERDICT r2 #7:

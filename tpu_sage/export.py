@@ -38,6 +38,15 @@ def main(argv=None):
                          "run SHARDED exact inference (halo-gathered "
                          "activations) — for graphs too big for one chip")
     ap.add_argument("--chunk", type=int, default=4096)
+    ap.add_argument("--out-dtype", default="float32",
+                    choices=["float32", "float16"],
+                    help="dtype of the exported .npy. float16 halves both "
+                         "the device->host fetch (the end-to-end bottleneck "
+                         "at scale: the f32 embeddings fetch measured 18.3 s "
+                         "at Reddit size through this backend — RESULTS r5 "
+                         "§8; cast happens ON DEVICE) and the artifact. "
+                         "Embeddings are L2-normalized and logits "
+                         "pre-softmax O(10) — both safely inside f16 range")
     # multi-host bring-up (SURVEY.md §5.8): pass all three on every process;
     # each contributes its local shards and process 0 writes the output
     ap.add_argument("--coordinator", default=None,
@@ -170,6 +179,8 @@ def main(argv=None):
             model, params, sharded, mesh,
             chunk=args.chunk, with_head=args.logits,
         )
+        if args.out_dtype != "float32":
+            out = out.astype(args.out_dtype)  # on device, pre-fetch
         arr = fetch_replicated(out)[: problem.n_nodes]
     else:
         trainer = Trainer(model, config, steps_per_epoch=1, task=problem.task)
@@ -178,6 +189,8 @@ def main(argv=None):
         state = load_checkpoint(args.checkpoint, template)
         out = embed_all_nodes(model, state.params, graph, chunk=args.chunk,
                               with_head=args.logits)
+        if args.out_dtype != "float32":
+            out = out.astype(args.out_dtype)
         arr = np.asarray(out)
     import jax
 
