@@ -28,6 +28,28 @@ def test_unknown_schedule_exits_2():
     assert rc == 2
 
 
+def test_missing_problem_file_clean_error(capsys):
+    """A nonexistent --problem-path must exit with a clean message, not an
+    h5py OSError traceback (verify-skill gotcha, fixed round 5)."""
+    with pytest.raises(SystemExit) as ei:
+        main(["--problem-path", "/tmp/definitely_not_here.h5"])
+    assert "problem file not found" in str(ei.value)
+
+
+def test_missing_checkpoint_clean_error(tmp_path):
+    """export.py with a nonexistent --checkpoint exits cleanly (np.load's
+    raw FileNotFoundError was the round-5 rough edge)."""
+    from tpu_sage.export import main as export_main
+
+    with pytest.raises(SystemExit) as ei:
+        export_main(["--synthetic", "sbm", "--synthetic-nodes", "300",
+                     "--checkpoint", "/tmp/definitely_not_here.npz",
+                     "--out", str(tmp_path / "o.npy"),
+                     "--n-train-samples", "4,3", "--n-val-samples", "4,3",
+                     "--output-dims", "16,16"])
+    assert "checkpoint not found" in str(ei.value)
+
+
 def test_end_to_end_tiny(capsys):
     rc = main(["--synthetic", "sbm", "--synthetic-nodes", "300",
                "--n-train-samples", "4,3", "--n-val-samples", "4,3",

@@ -62,8 +62,18 @@ class NodeProblem:
 
     @classmethod
     def from_h5(cls, problem_path: str) -> "NodeProblem":
+        import os
+
         import h5py
 
+        if not os.path.exists(problem_path):
+            # h5py's raw OSError traceback is unhelpful at the CLI surface;
+            # fail like the flag-validation errors do (clean message, no dump)
+            raise SystemExit(
+                f"error: problem file not found: {problem_path!r} — build one "
+                "with `python -m tpu_sage.data.convert` (wl-json / edge-list "
+                "/ planetoid / ogb layouts) or train with --synthetic sbm"
+            )
         with h5py.File(problem_path, "r") as f:
             adj = f["adj"][:].astype(np.int32)
             train_adj = f["train_adj"][:].astype(np.int32) if "train_adj" in f else adj

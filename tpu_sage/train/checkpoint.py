@@ -85,7 +85,10 @@ def read_checkpoint_config(path: str):
     """The ``__config__`` dict stored by ``save_checkpoint`` (None if the
     checkpoint predates config recording)."""
     import json as _json
+    import os
 
+    if not os.path.exists(path):
+        raise SystemExit(f"error: checkpoint not found: {path!r}")
     with np.load(path) as data:
         if "__config__" not in data.files:
             return None
@@ -194,6 +197,13 @@ def load_checkpoint(path: str, template: TrainState) -> TrainState:
     mesh spans processes (a plain ``jnp.asarray`` would commit to local
     device 0, which a cross-process jit cannot consume); single-process runs
     keep the plain upload."""
+    import os
+
+    if not os.path.exists(path):
+        # np.load's raw FileNotFoundError is unhelpful at the CLI/export
+        # surface (resume_state already guards its own candidates; this
+        # covers the exporter's required --checkpoint)
+        raise SystemExit(f"error: checkpoint not found: {path!r}")
     multi = jax.process_count() > 1
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files}
