@@ -54,7 +54,8 @@ python -m tpu_sage.cli --problem-path "$OUT/problem.h5" \
   --checkpoint-path "$OUT/exact.npz"
 python -m tpu_sage.export --problem-path "$OUT/problem.h5" \
   --checkpoint "$OUT/exact.npz" --out "$OUT/embeddings.npy" \
-  --n-train-samples 10,5 --n-val-samples 25,10
+  --n-train-samples 10,5 --n-val-samples 25,10 \
+  --out-dtype float16  # halves fetch + artifact (RESULTS r5 §8b)
 
 echo "== hierarchical (host, chip) halo on a 2-D mesh =="
 python -m tpu_sage.cli --problem-path "$OUT/problem.h5" \

@@ -129,7 +129,7 @@ def test_partitioned_halo_measured_cli(capsys):
     recs = _capture(capsys)
     resolved = next(r for r in recs if "halo" in r)
     assert resolved["halo"] in ("exact", "ring", "pipelined")
-    # "fallback" appears when the margin was inside repeat noise (the race
-    # abstains to the auto default rather than coin-flip)
-    assert set(resolved["halo_measured_ms"]) - {"fallback"} == {
+    # a sub-noise margin abstains to the auto default and logs
+    # halo_measured_fallback separately; the timings stay purely numeric
+    assert set(resolved["halo_measured_ms"]) == {
         "exact", "ring", "pipelined"}

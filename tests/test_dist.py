@@ -540,12 +540,11 @@ def test_halo_measured_races_and_trains(mesh):
     recs = []
     _, state, hist = fit_partitioned(store, cfg, mesh=mesh, log=recs.append)
     resolved = next(r for r in recs if "halo" in r)
-    timings = resolved["halo_measured_ms"]
-    fell_back = "fallback" in timings
-    modes = {k: v for k, v in timings.items() if k != "fallback"}
+    modes = resolved["halo_measured_ms"]  # purely {mode: ms/step} since r5
     assert set(modes) == {"exact", "ring", "pipelined"}
     assert all(v > 0 for v in modes.values())
-    if fell_back:  # sub-noise margin → the race abstains to the auto default
+    if "halo_measured_fallback" in resolved:
+        # sub-noise margin → the race abstains to the auto default
         assert resolved["halo"] == "exact"
     else:
         assert resolved["halo"] == min(modes, key=modes.get)
@@ -588,15 +587,20 @@ def test_halo_measured_subnoise_margin_falls_back(monkeypatch):
                                  candidates, n_steps=1, repeats=2)
 
     # ring is raw-fastest by 0.05 ms/step but both contenders wobble 0.3 —
-    # sub-noise margin: abstain to exact, keep the evidence in the dict
-    winner, t = race({"exact": [1.0e-3, 1.3e-3], "ring": [0.95e-3, 1.25e-3],
-                      "pipelined": [2e-3, 2e-3]})
+    # sub-noise margin: abstain to exact, return the reason separately
+    # (timings stay purely {mode: float} — the mixed-type dict was a
+    # round-5 review finding)
+    winner, t, why = race({"exact": [1.0e-3, 1.3e-3],
+                           "ring": [0.95e-3, 1.25e-3],
+                           "pipelined": [2e-3, 2e-3]})
     assert winner == "exact"
-    assert "fallback" in t and "noise" in t["fallback"]
+    assert why is not None and "noise" in why
+    assert all(isinstance(v, float) for v in t.values())
     # a clear margin keeps the measured winner
-    winner, t = race({"exact": [1.0e-3, 1.001e-3], "ring": [0.5e-3, 0.501e-3],
-                      "pipelined": [2e-3, 2e-3]})
-    assert winner == "ring" and "fallback" not in t
+    winner, t, why = race({"exact": [1.0e-3, 1.001e-3],
+                           "ring": [0.5e-3, 0.501e-3],
+                           "pipelined": [2e-3, 2e-3]})
+    assert winner == "ring" and why is None
 
     # backend-resolved racing-epoch length: CPU keeps 20 (no dispatch tax);
     # explicit values pass through verbatim

@@ -121,10 +121,9 @@ def test_partitioned_unsupervised_halo_measured(eight_devices):
         mesh=mesh, log=recs.append, probe=False,
     )
     resolved = next(r for r in recs if "halo" in r)
-    timings = resolved["halo_measured_ms"]
-    modes = {k: v for k, v in timings.items() if k != "fallback"}
+    modes = resolved["halo_measured_ms"]  # purely {mode: ms/step} since r5
     assert set(modes) == {"exact", "ring", "pipelined"}
-    if "fallback" in timings:
+    if "halo_measured_fallback" in resolved:
         assert trainer.halo_mode == "exact"
     else:
         assert trainer.halo_mode == min(modes, key=modes.get)

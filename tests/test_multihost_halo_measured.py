@@ -85,4 +85,4 @@ def test_two_process_halo_measured_agreement():
     # the load-bearing assertion: the same winner on BOTH processes
     assert recs[0]["halo"] == recs[1]["halo"]
     assert recs[0]["halo"] in ("exact", "ring", "pipelined")
-    assert set(recs[0]["ms"]) - {"fallback"} == {"exact", "ring", "pipelined"}
+    assert set(recs[0]["ms"]) == {"exact", "ring", "pipelined"}

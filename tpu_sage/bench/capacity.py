@@ -120,47 +120,57 @@ def capacity_table(hbm_bytes: int = HBM_BYTES):
     return rows
 
 
+def _run_config(n_nodes: int, feat_dim: int, max_degree: int,
+                csr: bool, feature: str, n_graphs: int) -> CapacityConfig:
+    del n_nodes
+    return CapacityConfig(feat_dim=feat_dim, max_degree=max_degree,
+                          avg_degree=max_degree, feature=feature,
+                          adjacency="csr" if csr else "dense",
+                          n_graphs=n_graphs)
+
+
 def over_budget(n_nodes: int, feat_dim: int, max_degree: int,
-                csr: bool, feature_int8: bool,
+                csr: bool, feature: str, n_graphs: int = 2,
                 hbm_bytes: int = HBM_BYTES) -> bool:
     """Does the modeled training residency exceed the measured usable
     budget? Used by the CLI to classify an opaque compile failure (the axon
     backend surfaces HBM-planning failures as an HTTP-500 compile-helper
-    crash, not a RESOURCE_EXHAUSTED string)."""
+    crash, not a RESOURCE_EXHAUSTED string).
+
+    ``feature`` is the run's ACTUAL on-device storage ("float32" |
+    "bfloat16" | "int8" — the CLI derives it from feature_int8 +
+    compute_dtype); ``n_graphs=2`` is the ``fit()`` product path, which
+    uploads the train-edge AND full-edge graphs (module docstring)."""
     est = resident_bytes(
-        n_nodes,
-        CapacityConfig(feat_dim=feat_dim, max_degree=max_degree,
-                       avg_degree=max_degree,
-                       feature="int8" if feature_int8 else "bfloat16",
-                       adjacency="csr" if csr else "dense"),
+        n_nodes, _run_config(n_nodes, feat_dim, max_degree, csr, feature,
+                             n_graphs),
     )
     return est > hbm_bytes - XLA_SLACK_BYTES
 
 
 def oom_advice(n_nodes: int, feat_dim: int, max_degree: int,
-               csr: bool, feature_int8: bool) -> str:
+               csr: bool, feature: str, n_graphs: int = 2) -> str:
     """Actionable message for a RESOURCE_EXHAUSTED during graph upload or
     the first training step (wired into the CLI)."""
     tips = []
+    if feature == "float32":
+        tips.append("--compute-dtype bfloat16 (halves the feature table)")
     if not csr:
         tips.append("--csr-adjacency (adjacency at nnz instead of "
                     "n*max_degree ids; measured 93% of dense throughput)")
-    if not feature_int8:
+    if feature != "int8":
         tips.append("--feature-int8 (features at 1 byte/element + per-column "
                     "scales; lossy but quality-verified at Reddit scale)")
     tips.append("--partitioned over more chips (node-sharded storage)")
     est = resident_bytes(
-        n_nodes,
-        CapacityConfig(feat_dim=feat_dim, max_degree=max_degree,
-                       avg_degree=max_degree,
-                       feature="int8" if feature_int8 else "bfloat16",
-                       adjacency="csr" if csr else "dense"),
+        n_nodes, _run_config(n_nodes, feat_dim, max_degree, csr, feature,
+                             n_graphs),
     )
     return (
         f"graph does not fit device memory: ~{est / 1e9:.1f} GB modeled for "
         f"{n_nodes} nodes x {feat_dim} feats (max_degree {max_degree}, "
-        f"{'csr' if csr else 'dense'} adjacency, "
-        f"{'int8' if feature_int8 else 'dense'} features). Options: "
+        f"{'csr' if csr else 'dense'} adjacency, {feature} features, "
+        f"{n_graphs} resident graph(s)). Options: "
         + "; ".join(tips)
         + ". See `python -m tpu_sage.bench.capacity` for the envelope."
     )

@@ -105,10 +105,28 @@ def parse_args(argv=None):
     ap.add_argument("--fuse-first-layer", action="store_true",
                     help="whole-table projection first layer (mean+identity; "
                          "custom-VJP training path — see RESULTS.md tradeoffs)")
-    ap.add_argument("--gather-form", default=None, choices=["masked", "plain", "masked_chunked"],
-                    help="TPU gather lowering (default: plain everywhere — "
-                         "the round-3 measured winner; 'masked' forces the "
-                         "materialized round-2d form for A/B — RESULTS.md)")
+    ap.add_argument("--gather-form", default=None,
+                    choices=["masked", "plain", "masked_chunked"],
+                    help="TPU gather lowering (default: the measured "
+                         "per-workload policy — plain for supervised, "
+                         "masked_chunked for the 12x-larger unsupervised "
+                         "tree). 'masked' forces the materialized round-2d "
+                         "form; 'masked_chunked' additionally splits the "
+                         "non-deepest masked gathers into overlapping "
+                         "descriptor streams (the round-5 unsupervised "
+                         "winner) — RESULTS.md")
+    ap.add_argument("--gather-form-deep", default=None,
+                    choices=["masked", "plain"],
+                    help="deepest fused level's gather form, overriding "
+                         "--gather-form's base (default: follow it; masked "
+                         "measured optimal at the unsupervised 1.5M-row "
+                         "scale — RESULTS.md r5 §6)")
+    ap.add_argument("--compute-dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="matmul/feature-table dtype (default float32; "
+                         "bfloat16 halves the resident feature table and "
+                         "the gathered bytes on the MXU path — the headline "
+                         "bench configuration)")
     ap.add_argument("--gather-chunks", type=int, default=None,
                     help="split big gathers into k independent ops so their "
                          "descriptor streams overlap (default 10; 1 disables; "
@@ -274,6 +292,10 @@ def main(argv=None):
         flag_values["feature_int8"] = True
     if args.gather_form is not None:
         flag_values["gather_form"] = args.gather_form
+    if args.gather_form_deep is not None:
+        flag_values["gather_form_deep"] = args.gather_form_deep
+    if args.compute_dtype is not None:
+        flag_values["compute_dtype"] = args.compute_dtype
     if args.gather_chunks is not None:
         flag_values["gather_chunks"] = args.gather_chunks
     if args.fuse_last is not None:
@@ -323,6 +345,10 @@ def main(argv=None):
             overrides["feature_int8"] = True
         if args.gather_form is not None:
             overrides["gather_form"] = args.gather_form
+        if args.gather_form_deep is not None:
+            overrides["gather_form_deep"] = args.gather_form_deep
+        if args.compute_dtype is not None:
+            overrides["compute_dtype"] = args.compute_dtype
         if args.gather_chunks is not None:
             overrides["gather_chunks"] = args.gather_chunks
         if args.fuse_last is not None:
@@ -366,6 +392,10 @@ def main(argv=None):
         st = problem.store
         msg = str(e)
         oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+        # model the run's ACTUAL storage: int8 > compute_dtype table;
+        # fit() keeps the train-edge AND full-edge graphs resident
+        feature = ("int8" if args.feature_int8 else config.compute_dtype)
+        cap_kw = dict(csr=args.csr_adjacency, feature=feature, n_graphs=2)
         # the axon backend surfaces compile-time HBM-planning failures as an
         # opaque HTTP-500 compile-helper crash (bench_logs/r5_capacity_*);
         # classify it as capacity only when the model agrees the graph is
@@ -373,13 +403,11 @@ def main(argv=None):
         if not oom and not (
             "tpu_compile_helper" in msg
             and over_budget(st.n_nodes, st.feat_dim, st.adj.shape[1],
-                            csr=args.csr_adjacency,
-                            feature_int8=args.feature_int8)
+                            **cap_kw)
         ):
             raise
         print("error: " + oom_advice(
-            st.n_nodes, st.feat_dim, st.adj.shape[1],
-            csr=args.csr_adjacency, feature_int8=args.feature_int8,
+            st.n_nodes, st.feat_dim, st.adj.shape[1], **cap_kw,
         ), file=sys.stderr)
         return 1
 

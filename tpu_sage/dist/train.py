@@ -141,8 +141,9 @@ def measure_halo_mode(make_trainer, feat_dim: int, run_epoch, candidates,
     winner, so a margin smaller than the observed repeat-to-repeat spread is
     a coin flip, not a measurement. When ``second_best − best`` is within
     the summed spreads of those two modes, the race ABSTAINS and returns
-    the ``halo='auto'`` resolution (exact — the round-3/4 measured default)
-    with ``timings['fallback']`` recording why.
+    the ``halo='auto'`` resolution (exact — the round-3/4 measured default).
+    Returns ``(winner, {mode: ms_per_step}, fallback_reason_or_None)`` —
+    timings stay purely numeric; the abstention reason travels separately.
 
     ``make_trainer(mode)`` builds a trainer pinned to ``mode``;
     ``run_epoch(trainer, state, n_steps)`` must return ``(state, metrics)``
@@ -152,7 +153,7 @@ def measure_halo_mode(make_trainer, feat_dim: int, run_epoch, candidates,
 
     n_steps = resolve_measure_steps(n_steps)
     if len(candidates) == 1:
-        return candidates[0], {}
+        return candidates[0], {}, None
     timings = {}
     spreads = {}
     for mode in candidates:
@@ -172,9 +173,10 @@ def measure_halo_mode(make_trainer, feat_dim: int, run_epoch, candidates,
     winner = ranked[0]
     margin = timings[ranked[1]] - timings[ranked[0]]
     noise = spreads[ranked[0]] + spreads[ranked[1]]
+    fallback = None
     if margin <= noise and "exact" in candidates:
-        timings = dict(timings)
-        timings["fallback"] = (
+        # keep timings purely {mode: ms/step}; the reason travels separately
+        fallback = (
             f"margin {round(margin, 4)} ms/step within repeat noise "
             f"{round(noise, 4)} — using the auto default"
         )
@@ -189,7 +191,7 @@ def measure_halo_mode(make_trainer, feat_dim: int, run_epoch, candidates,
         order = sorted(candidates)
         idx = np.asarray(order.index(winner), dtype=np.int32)
         winner = order[int(multihost_utils.broadcast_one_to_all(idx))]
-    return winner, timings
+    return winner, timings, fallback
 
 
 def _no_overflow() -> jnp.ndarray:
@@ -668,6 +670,7 @@ class PartitionedTrainer:
         )
         self.gather_levels = make_gather_levels(self.halo_mode, self.n_shards)
         self.halo_timings = None  # {mode: ms/step} when halo="measured" raced
+        self.halo_fallback = None  # sub-noise abstention reason, or None
         self._step_fn = None
         self._epoch_fns = {}
         self._eval_fns = {}  # keyed on the eval graph's csr window (0 = dense)
@@ -719,9 +722,9 @@ class PartitionedTrainer:
         )
         model = build_model(config, store.n_nodes, store.n_classes)
         window = getattr(graph, "window", 0)
-        halo_timings = None
+        halo_timings = halo_fallback = None
         if getattr(config, "halo", "auto") == "measured":
-            winner, halo_timings = measure_halo_mode(
+            winner, halo_timings, halo_fallback = measure_halo_mode(
                 lambda mode: cls(model, config.replace(halo=mode), mesh, m,
                                  steps_per_epoch, task=store.task, axis=axis,
                                  csr_window=window),
@@ -735,6 +738,7 @@ class PartitionedTrainer:
         trainer = cls(model, config, mesh, m, steps_per_epoch, task=store.task,
                       axis=axis, csr_window=window)
         trainer.halo_timings = halo_timings
+        trainer.halo_fallback = halo_fallback
         return trainer, graph, fold_ids_d, fold_w_d
 
     def init_state(self, feat_dim: int, key: Optional[jax.Array] = None) -> TrainState:
@@ -1190,6 +1194,8 @@ def fit_partitioned(
     log({"n_shards": trainer.n_shards, "halo": trainer.halo_mode,
          **({"halo_measured_ms": trainer.halo_timings}
             if trainer.halo_timings else {}),
+         **({"halo_measured_fallback": trainer.halo_fallback}
+            if getattr(trainer, "halo_fallback", None) else {}),
          **({"csr_window": trainer.csr_window} if csr else {})})
 
     use_exact_val = False

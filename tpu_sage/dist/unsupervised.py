@@ -90,14 +90,14 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
         )
         model = build_model(config, store.n_nodes, max(store.n_classes, 2))
         window = getattr(graph, "window", 0)
-        halo_timings = None
+        halo_timings = halo_fallback = None
         if getattr(config, "halo", "auto") == "measured":
             # race with the real NCE epoch (the knob lesson: workloads
             # differ — the supervised winner is not assumed here)
             from tpu_sage.dist.mesh import axis_size
             from tpu_sage.dist.train import halo_candidates, measure_halo_mode
 
-            winner, halo_timings = measure_halo_mode(
+            winner, halo_timings, halo_fallback = measure_halo_mode(
                 lambda mode: cls(model, config.replace(halo=mode), unsup,
                                  mesh, m, steps_per_epoch,
                                  n_real_nodes=store.n_nodes, axis=axis,
@@ -113,6 +113,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                       n_real_nodes=store.n_nodes, axis=axis,
                       csr_window=window)
         trainer.halo_timings = halo_timings
+        trainer.halo_fallback = halo_fallback
         return trainer, graph, fold_ids_d, fold_w_d
 
     def neg_logits(self, store: GraphStore) -> Optional[jnp.ndarray]:
@@ -318,7 +319,7 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                     levels.append(
                         sample_level_distributed(
                             ks[i], adj_deg, levels[-1], f, axis, gather,
-                            pair_window=window,
+                            pair_window=window, owner_select=os_fn,
                         )[0]
                     )
                 level_feats, _ = gather_level_feats(
@@ -422,7 +423,9 @@ def fit_unsupervised_partitioned(
     # name the RESOLVED halo implementation (config may say "auto"/"measured")
     log({"n_shards": trainer.n_shards, "halo": trainer.halo_mode,
          **({"halo_measured_ms": trainer.halo_timings}
-            if trainer.halo_timings else {})})
+            if trainer.halo_timings else {}),
+         **({"halo_measured_fallback": trainer.halo_fallback}
+            if getattr(trainer, "halo_fallback", None) else {})})
     neg_logits = trainer.neg_logits(store)
     state = trainer.init_state(feat_dim=store.feat_dim)
     state, start_epoch = resume_state(state, resume_from,

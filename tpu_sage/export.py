@@ -115,6 +115,12 @@ def main(argv=None):
         # it would either shape-mismatch or silently look up meaningless
         # rows — fail with the inductive story instead (identity/linear
         # preps are graph-size-independent and transfer; SURVEY.md §0.1).
+        import os
+
+        if not os.path.exists(args.checkpoint):
+            # keep the clean missing-file message on this path too (the
+            # guard below np.load()s before load_checkpoint's own check)
+            raise SystemExit(f"error: checkpoint not found: {args.checkpoint!r}")
         emb_rows = None
         with np.load(args.checkpoint) as data:
             for k in data.files:

@@ -514,12 +514,17 @@ def fit(
         from tpu_sage.nn.full_graph import exact_supported
 
         exact_requested = exact_supported(model)
+    # feature storage follows compute_dtype (the partitioned path's
+    # shard_graph already did; the single-device loops stored f32 regardless
+    # until round 5 — the benched bf16-table configuration was unreachable
+    # through fit(), and the resident table was 2x the modeled bytes)
+    fdt = None if config.compute_dtype == "float32" else jnp.bfloat16
     graph_train = problem.device_graph(
-        train=True, csr=csr, quantize=config.feature_int8
+        train=True, csr=csr, quantize=config.feature_int8, dtype=fdt
     )
     graph_full = problem.device_graph(
         train=False, csr=csr and not exact_requested,
-        quantize=config.feature_int8,
+        quantize=config.feature_int8, dtype=fdt,
     )
     from tpu_sage.train.checkpoint import (BestTracker, maybe_checkpoint,
                                            resume_state)

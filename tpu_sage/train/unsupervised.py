@@ -323,8 +323,10 @@ def fit_unsupervised(
     steps_per_epoch = max(1, len(train_ids) // config.batch_size)
     model = build_model(config, problem.n_nodes, max(problem.n_classes, 2))
     trainer = UnsupervisedTrainer(model, config, unsup, steps_per_epoch)
+    # feature storage follows compute_dtype (same round-5 fix as fit())
+    fdt = None if config.compute_dtype == "float32" else jnp.bfloat16
     graph = problem.device_graph(train=True, csr=csr,
-                                 quantize=config.feature_int8)
+                                 quantize=config.feature_int8, dtype=fdt)
     state = trainer.init_state(graph)
     if walks is None:
         walks = getattr(problem, "walks", None)
@@ -353,7 +355,8 @@ def fit_unsupervised(
         nonlocal graph_full
         if graph_full is None:
             graph_full = problem.device_graph(train=False, csr=csr,
-                                              quantize=config.feature_int8)
+                                              quantize=config.feature_int8,
+                                              dtype=fdt)
         return logistic_probe(
             lambda ids: trainer.embed_all(st.params, graph_full, ids),
             problem.store.targets, problem.folds,
