@@ -101,11 +101,13 @@ def max_nodes(cfg: CapacityConfig, hbm_bytes: int = HBM_BYTES) -> int:
 
 def capacity_table(hbm_bytes: int = HBM_BYTES):
     """The envelope: max nodes per (storage × feature × mode) at two
-    representative feature widths (Reddit's 602, OGBN-products' 100)."""
+    representative feature widths (Reddit's 602, OGBN-products' 100).
+    float32 is the CLI default storage; bfloat16 (--compute-dtype) is the
+    benched headline configuration."""
     rows = []
     for feat_dim, max_deg in ((602, 128), (100, 64)):
         for adjacency in ("dense", "csr"):
-            for feature in ("bfloat16", "int8"):
+            for feature in ("float32", "bfloat16", "int8"):
                 for mode in ("train", "infer"):
                     cfg = CapacityConfig(
                         feat_dim=feat_dim, max_degree=max_deg,
@@ -176,11 +178,22 @@ def oom_advice(n_nodes: int, feat_dim: int, max_degree: int,
     )
 
 
-def main():
-    print(json.dumps({"hbm_gb": HBM_BYTES / 1024**3,
-                      "slack_gb": XLA_SLACK_BYTES / 1e9}))
-    for row in capacity_table():
-        print(json.dumps(row))
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--hbm-gb", type=float, default=HBM_BYTES / 1024**3,
+                    help="device HBM in GiB (default 16 = v5e; pass 32 for "
+                         "v4/v5p-class chips — the measured slack is kept)")
+    args = ap.parse_args(argv)
+    hbm = int(args.hbm_gb * 1024**3)
+    try:
+        print(json.dumps({"hbm_gb": args.hbm_gb,
+                          "slack_gb": XLA_SLACK_BYTES / 1e9}))
+        for row in capacity_table(hbm):
+            print(json.dumps(row))
+    except BrokenPipeError:  # `... | head` is a normal way to read this
+        pass
 
 
 if __name__ == "__main__":
