@@ -202,6 +202,66 @@ def test_partitioned_full_graph_2d_mesh_and_int8():
     np.testing.assert_allclose(got8, want, rtol=0.1, atol=0.05)
 
 
+def test_embed_all_nodes_raw_int8_feat_scale():
+    """The raw-int8 DeviceGraph form (feats int8 + feat_scale set — the
+    partitioned layout, graph_data contract) must be dequantized by
+    embed_all_nodes, not fed to the matmuls as integers (round-5 review:
+    the check only covered the QuantizedFeats wrapper)."""
+    import dataclasses
+
+    store = sbm_store(n_nodes=100, n_classes=3, feat_dim=8, max_degree=8,
+                      seed=21)
+    cfg = TrainConfig(n_train_samples=(4, 3), n_val_samples=(4, 3),
+                      output_dims=(16, 16))
+    model = build_model(cfg, store.n_nodes, store.n_classes)
+    graph = store.to_device(train=False, quantize=True)
+    q = graph.feats  # QuantizedFeats wrapper: .q int8, .scale (D,)
+    levels = [jnp.zeros((4,), jnp.int32), jnp.zeros((16,), jnp.int32),
+              jnp.zeros((48,), jnp.int32)]
+    params = model.init(jax.random.key(0), levels, q.dequantize())
+
+    want = np.asarray(embed_all_nodes(model, params, graph, chunk=32))
+    raw = dataclasses.replace(graph, feats=q.q, feat_scale=q.scale)
+    got = np.asarray(embed_all_nodes(model, params, raw, chunk=32))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_partitioned_embed_program_is_cached():
+    """embed_all_nodes_partitioned must reuse one compiled program across
+    calls with different PARAM VALUES (round-5 review: params were closed
+    over, forcing a retrace + full recompile every exact-val epoch)."""
+    from tpu_sage.dist.mesh import make_mesh
+    from tpu_sage.dist.partition import shard_graph
+    from tpu_sage.nn.full_graph import (_partitioned_embed_cache,
+                                        embed_all_nodes_partitioned)
+
+    mesh = make_mesh()
+    store = sbm_store(n_nodes=96, n_classes=3, feat_dim=8, avg_degree=5,
+                      max_degree=8, seed=22)
+    cfg = TrainConfig(n_train_samples=(4, 3), n_val_samples=(4, 3),
+                      output_dims=(16, 16))
+    model = build_model(cfg, store.n_nodes, store.n_classes)
+    graph = store.to_device(train=False)
+    levels = [jnp.zeros((4,), jnp.int32), jnp.zeros((16,), jnp.int32),
+              jnp.zeros((48,), jnp.int32)]
+    params = model.init(jax.random.key(0), levels, graph.feats)
+    sharded, _ = shard_graph(store, mesh, train=False)
+
+    _partitioned_embed_cache.clear()
+    a = np.asarray(embed_all_nodes_partitioned(model, params, sharded, mesh,
+                                               chunk=8))
+    assert len(_partitioned_embed_cache) == 1
+    fn = next(iter(_partitioned_embed_cache.values()))
+    traced_once = fn._cache_size()
+    p2 = jax.tree.map(lambda x: x * 1.5, params)
+    b = np.asarray(embed_all_nodes_partitioned(model, p2, sharded, mesh,
+                                               chunk=8))
+    # same compiled program (no retrace), different params -> different out
+    assert len(_partitioned_embed_cache) == 1
+    assert fn._cache_size() == traced_once == 1
+    assert not np.allclose(a, b)
+
+
 @pytest.mark.parametrize("prep", ["linear", "node_embedding"])
 def test_partitioned_full_graph_preps(prep):
     """Sharded exact inference with the non-identity preps — in particular

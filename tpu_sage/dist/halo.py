@@ -80,16 +80,13 @@ class CSRAdjRows:
 
     def __getitem__(self, idx):
         from tpu_sage.ops import row_gather_chunked
+        from tpu_sage.sample.csr import gather_window_pair
         from tpu_sage.sample.sampler import select_columns
 
         shape = jnp.shape(idx)
         flat = jnp.reshape(idx, (-1,)).astype(jnp.int32)
-        start = row_gather_chunked(self.indptr, flat)
-        q, off = jnp.divmod(start, self.window)
-        pair = jnp.concatenate(
-            [row_gather_chunked(self.indices, q),
-             row_gather_chunked(self.indices, q + 1)], axis=1,
-        )                                                   # (N, 2·window)
+        pair, off, _ = gather_window_pair(self.indptr, self.indices, flat,
+                                          self.window)
         win = select_columns(
             pair, off[:, None] + jnp.arange(self.window, dtype=jnp.int32)[None, :]
         )                                                   # (N, window)
@@ -120,16 +117,16 @@ class CSRPairRows(CSRAdjRows):
 
     def __getitem__(self, idx):
         from tpu_sage.ops import row_gather_chunked
+        from tpu_sage.sample.csr import gather_window_pair
 
         shape = jnp.shape(idx)
         flat = jnp.reshape(idx, (-1,)).astype(jnp.int32)
-        start = row_gather_chunked(self.indptr, flat)
-        q, off = jnp.divmod(start, self.window)
+        pair, off, _ = gather_window_pair(self.indptr, self.indices, flat,
+                                          self.window)
         deg = row_gather_chunked(self.degrees, flat)
         out = jnp.concatenate(
-            [row_gather_chunked(self.indices, q),
-             row_gather_chunked(self.indices, q + 1),
-             off[:, None].astype(jnp.int32), deg[:, None].astype(jnp.int32)],
+            [pair, off[:, None].astype(jnp.int32),
+             deg[:, None].astype(jnp.int32)],
             axis=1,
         )                                                   # (N, 2w+2)
         return out.reshape(shape + (2 * self.window + 2,))
@@ -161,6 +158,7 @@ def dist_sample_csr_owner_select(
     the requester's degree-0 self-loop rule unchanged.
     """
     from tpu_sage.ops import row_gather_chunked
+    from tpu_sage.sample.csr import gather_window_pair
     from tpu_sage.sample.sampler import select_columns
 
     m = degrees.shape[0]
@@ -170,8 +168,6 @@ def dist_sample_csr_owner_select(
     flat_ids = all_ids.reshape(-1)
     flat_u = all_u.reshape(-1, u.shape[-1])
     local_idx = jnp.clip(flat_ids - offset, 0, m - 1)
-    start = row_gather_chunked(indptr, local_idx)
-    q_row, off = jnp.divmod(start, window)
     r_deg = row_gather_chunked(degrees, local_idx)
     deg = jnp.maximum(r_deg, 1)
     # identical arithmetic to sample_level_distributed's requester-side path
@@ -179,10 +175,7 @@ def dist_sample_csr_owner_select(
         (flat_u * deg[:, None].astype(flat_u.dtype)).astype(jnp.int32),
         deg[:, None] - 1,
     )
-    pair = jnp.concatenate(
-        [row_gather_chunked(indices, q_row),
-         row_gather_chunked(indices, q_row + 1)], axis=1,
-    )                                                   # (N, 2·window)
+    pair, off, _ = gather_window_pair(indptr, indices, local_idx, window)
     vals = select_columns(pair, off[:, None] + cols)    # (N, fanout)
     out = jnp.concatenate([vals, r_deg[:, None].astype(vals.dtype)], axis=1)
     owned = (flat_ids >= offset) & (flat_ids < offset + m)
@@ -262,30 +255,14 @@ def dist_gather_ring_fanout_mean(
     pre-reduced — ``(q/fanout, d)`` float32 accumulating each shard's mean
     contribution (ownership is disjoint, so where-fill becomes add) —
     ``fanout×`` less ppermute traffic than :func:`dist_gather_ring`.
+
+    The single-level specialization of
+    :func:`dist_gather_ring_pipelined` (round-5 review: the rotate/contrib
+    chain was maintained in three copies; one implementation now).
     """
-    m = local_table.shape[0]
-    my = lax.axis_index(axis_name)
-    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-    qf = ids.shape[0] // fanout
-
-    def contrib(buf_ids):
-        offset = my * m
-        local_idx = jnp.clip(buf_ids - offset, 0, m - 1)
-        rows = local_table[local_idx]
-        owned = (buf_ids >= offset) & (buf_ids < offset + m)
-        rows = jnp.where(
-            owned.reshape(owned.shape + (1,) * (rows.ndim - 1)), rows, 0
-        ).astype(jnp.float32)
-        return jnp.mean(rows.reshape((qf, fanout) + rows.shape[1:]), axis=1)
-
-    buf_ids = ids
-    buf = contrib(buf_ids)                    # home contribution
-    for _ in range(n_shards - 1):             # visit the other n-1 shards
-        buf_ids = lax.ppermute(buf_ids, axis_name, perm)
-        buf = lax.ppermute(buf, axis_name, perm)
-        buf = buf + contrib(buf_ids)
-    # one final hop brings the buffer back to its origin shard
-    return lax.ppermute(buf, axis_name, perm)
+    return dist_gather_ring_pipelined(
+        local_table, [ids], axis_name, n_shards, last_fanout=fanout
+    )[0]
 
 
 def dist_gather_ring(
@@ -303,29 +280,14 @@ def dist_gather_ring(
     of neighbor exchanges that XLA can pipeline with the per-hop fill compute
     — the preferred shape when all_to_all/psum_scatter schedules poorly.
     Exact: every entry equals ``global_table[ids]``.
+
+    The single-level specialization of
+    :func:`dist_gather_ring_pipelined` (round-5 review: one rotate/fill
+    implementation instead of three lockstep copies).
     """
-    m = local_table.shape[0]
-    my = lax.axis_index(axis_name)
-    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-
-    def fill(buf_ids, buf_ans):
-        offset = my * m
-        local_idx = jnp.clip(buf_ids - offset, 0, m - 1)
-        rows = local_table[local_idx]
-        owned = (buf_ids >= offset) & (buf_ids < offset + m)
-        return jnp.where(
-            owned.reshape(owned.shape + (1,) * (rows.ndim - 1)), rows, buf_ans
-        )
-
-    buf_ids = ids
-    buf_ans = jnp.zeros(ids.shape + local_table.shape[1:], local_table.dtype)
-    buf_ans = fill(buf_ids, buf_ans)          # home fill
-    for _ in range(n_shards - 1):             # visit the other n-1 shards
-        buf_ids = lax.ppermute(buf_ids, axis_name, perm)
-        buf_ans = lax.ppermute(buf_ans, axis_name, perm)
-        buf_ans = fill(buf_ids, buf_ans)
-    # one final hop brings the buffer back to its origin shard
-    return lax.ppermute(buf_ans, axis_name, perm)
+    return dist_gather_ring_pipelined(
+        local_table, [ids], axis_name, n_shards
+    )[0]
 
 
 def dist_gather_2d(

@@ -143,6 +143,14 @@ def _embed_jit(model, params, graph, chunk, with_head):
     h = graph.feats
     if hasattr(h, "dequantize"):  # int8 table: layerwise matmuls need dense
         h = h.dequantize()
+    elif (getattr(graph, "feat_scale", None) is not None
+          and jnp.issubdtype(h.dtype, jnp.integer)):
+        # raw-int8 DeviceGraph form (graph_data contract: feats int8 +
+        # feat_scale set — the partitioned path's layout); running the
+        # matmuls on raw integers would be silently wrong (round-5 review).
+        # Float feats with feat_scale=ones (the uniform-signature case) skip
+        # the multiply to keep the compute dtype untouched.
+        h = h.astype(graph.feat_scale.dtype) * graph.feat_scale
     if model.prep_class == "linear":
         h = _dense({"params": params["params"]["prep"]}, "fc", h)
     elif model.prep_class == "node_embedding":
@@ -225,7 +233,19 @@ def embed_all_nodes_partitioned(
     names = (axis,) if isinstance(axis, str) else tuple(axis)
     n_shards = axis_size(mesh, axis)
 
-    def shard_embed(adj, deg, feats, fscale):
+    # One compiled program per (model, mesh, axis, chunk, with_head):
+    # params enter as a jit ARGUMENT, not a closure constant — closing over
+    # them forced a full retrace + XLA recompile on EVERY call (each
+    # exact-val epoch paid the multi-layer full-graph compile; round-5
+    # review). The single-device twin always had this via _embed_jit's
+    # static_argnums.
+    cache_key = (model, mesh, names, chunk, with_head)
+    cached = _partitioned_embed_cache.get(cache_key)
+    if cached is not None:
+        return cached(params, graph.adj, graph.degrees, graph.feats,
+                      graph.feat_scale)
+
+    def shard_embed(params, adj, deg, feats, fscale):
         m, max_deg = adj.shape
         h = feats.astype(fscale.dtype) * fscale  # dequant (ones when dense)
         if model.prep_class == "linear":
@@ -278,8 +298,13 @@ def embed_all_nodes_partitioned(
     spec = P(axis) if isinstance(axis, str) else P(tuple(axis))
     mapped = shard_map(
         shard_embed, mesh=mesh,
-        in_specs=(spec, spec, spec, P()),
+        in_specs=(P(), spec, spec, spec, P()),  # params replicated
         out_specs=spec, check_vma=False,
     )
-    return jax.jit(mapped)(graph.adj, graph.degrees, graph.feats,
-                           graph.feat_scale)
+    fn = jax.jit(mapped)
+    _partitioned_embed_cache[cache_key] = fn
+    return fn(params, graph.adj, graph.degrees, graph.feats,
+              graph.feat_scale)
+
+
+_partitioned_embed_cache = {}

@@ -38,6 +38,15 @@ def csr_from_padded(
     degrees = np.asarray(degrees, dtype=np.int64)
     indptr = np.zeros(len(degrees) + 1, dtype=np.int64)
     np.cumsum(degrees, out=indptr[1:])
+    if indptr[-1] >= 2**31:
+        # int32 offsets would silently wrap negative and the device-side
+        # clamp would return neighbors from the WRONG rows for every node
+        # past the wrap point — fail loudly instead (round-5 review)
+        raise ValueError(
+            f"CSR nnz={int(indptr[-1])} exceeds int32 offsets (2^31-1); "
+            "shard the graph first (--partitioned partitions before the "
+            "per-shard CSR build, so each shard's nnz stays in range)"
+        )
     mask = np.arange(adj.shape[1])[None, :] < degrees[:, None]
     indices = np.asarray(adj)[mask].astype(np.int32)
     return indptr.astype(np.int32), indices
@@ -89,6 +98,35 @@ def uniform_neighbor_sample_csr(
     return jnp.where(deg[:, None] == 0, ids[:, None], nbr)
 
 
+def gather_window_pair(
+    indptr: jnp.ndarray,    # (m+1,) int32 flat row starts
+    indices: jnp.ndarray,   # flat (nnz padded) int32, or already (r, window)
+    ids: jnp.ndarray,       # (N,) int32 LOCAL row indices
+    window: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The CSR two-covering-row fetch: ``(pair (N, 2·window), off (N,),
+    start (N,))`` such that row ``i``'s neighbors are
+    ``pair[i, off[i] : off[i] + deg[i]]``.
+
+    The ONE implementation of the window hop's core, shared by the
+    single-device sampler hop below, the halo views
+    (``dist.halo.CSRAdjRows``/``CSRPairRows``) and the owner-select answer
+    path (``dist.halo.dist_sample_csr_owner_select``) — round-5 review: the
+    sequence was re-implemented four times, each silently re-encoding
+    :func:`pad_indices_for_window`'s ``q + 1`` spare-row invariant this
+    relies on."""
+    from tpu_sage.ops import row_gather_chunked
+
+    table = indices if indices.ndim == 2 else indices.reshape(-1, window)
+    start = row_gather_chunked(indptr, ids)
+    q, off = jnp.divmod(start, window)
+    pair = jnp.concatenate(
+        [row_gather_chunked(table, q), row_gather_chunked(table, q + 1)],
+        axis=1,
+    )                                                       # (N, 2·window)
+    return pair, off, start
+
+
 def uniform_neighbor_sample_csr_window(
     key: jax.Array,
     indptr: jnp.ndarray,    # (n+1,) int32
@@ -126,13 +164,7 @@ def uniform_neighbor_sample_csr_window(
 
     ids = ids.astype(jnp.int32)
     deg = row_gather_chunked(degrees, ids)
-    start = row_gather_chunked(indptr, ids)
-    table = indices.reshape(-1, window)                 # (m, window)
-    q, off = jnp.divmod(start, window)
-    pair = jnp.concatenate(
-        [row_gather_chunked(table, q), row_gather_chunked(table, q + 1)],
-        axis=1,
-    )                                                   # (B, 2*window)
+    pair, off, _ = gather_window_pair(indptr, indices, ids, window)
     safe_deg = jnp.maximum(deg, 1)
     u = jax.random.uniform(key, (ids.shape[0], n_samples))
     cols = jnp.minimum(
