@@ -2,6 +2,7 @@
 
 import json
 
+import jax
 import pytest
 
 from tpu_sage.cli import main, parse_args
@@ -110,6 +111,43 @@ def test_oom_exits_with_capacity_advice(monkeypatch, capsys):
                       "--n-train-samples", "3,2", "--n-val-samples", "3,2",
                       "--output-dims", "8,8", "--batch-size", "16",
                       "--epochs", "1"])
+
+
+def test_compile_crash_on_fitting_partitioned_run_reraises(monkeypatch):
+    """An opaque tpu_compile_helper crash on a --partitioned run whose
+    PER-DEVICE shard fits the budget must re-raise, not be swallowed as
+    out-of-memory: partitioned storage is node-sharded across the mesh, so
+    the whole-graph residency the classifier previously modeled is wrong by
+    a factor of the device count (round-5 review finding)."""
+    import tpu_sage.cli as cli_mod
+    from tpu_sage.bench import capacity as cap_mod
+
+    def boom(args, problem, config, log):
+        raise RuntimeError("tpu_compile_helper returned 500")
+
+    # force the WHOLE graph over budget while any per-device shard (the
+    # 120-node store over >=2 virtual devices) stays under it
+    per_device = -(-120 // max(1, jax.device_count()))
+    real_over = cap_mod.over_budget
+
+    def fake_over(n_nodes, *a, **kw):
+        return n_nodes > per_device
+
+    monkeypatch.setattr(cli_mod, "_run_fit", boom)
+    monkeypatch.setattr(cap_mod, "over_budget", fake_over)
+    with pytest.raises(RuntimeError, match="tpu_compile_helper"):
+        cli_mod.main(["--synthetic", "sbm", "--synthetic-nodes", "120",
+                      "--n-train-samples", "3,2", "--n-val-samples", "3,2",
+                      "--output-dims", "8,8", "--batch-size", "16",
+                      "--epochs", "1", "--partitioned"])
+    # the same crash WITHOUT --partitioned models whole-graph residency,
+    # which the fake marks over budget -> classified with remedies
+    rc = cli_mod.main(["--synthetic", "sbm", "--synthetic-nodes", "120",
+                       "--n-train-samples", "3,2", "--n-val-samples", "3,2",
+                       "--output-dims", "8,8", "--batch-size", "16",
+                       "--epochs", "1"])
+    assert rc == 1
+    monkeypatch.setattr(cap_mod, "over_budget", real_over)
 
 
 def test_parse_ints():

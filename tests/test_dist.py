@@ -601,6 +601,14 @@ def test_halo_measured_subnoise_margin_falls_back(monkeypatch):
                            "ring": [0.5e-3, 0.501e-3],
                            "pipelined": [2e-3, 2e-3]})
     assert winner == "ring" and why is None
+    # near-tied contenders but exact decisively slower: abstaining to exact
+    # would pin the run to a mode the race just rejected — keep the measured
+    # best and record why (round-5 review finding)
+    winner, t, why = race({"exact": [10e-3, 10.3e-3],
+                           "ring": [2.0e-3, 2.3e-3],
+                           "pipelined": [2.05e-3, 2.35e-3]})
+    assert winner == "ring"
+    assert why is not None and "keeping the measured best" in why
 
     # backend-resolved racing-epoch length: CPU keeps 20 (no dispatch tax);
     # explicit values pass through verbatim
@@ -950,3 +958,29 @@ def test_halo_chunks_bitwise_and_trains(mesh):
         ops._CHUNK_MIN_ROWS = old
     plain = losses()
     np.testing.assert_allclose(chunked, plain, rtol=1e-6)
+
+
+def test_partitioned_eval_graph_shares_feature_shards(mesh):
+    """The eval (full-edge) graph differs from the training graph only in
+    adjacency — _full_graph_shard must adopt the training feature shards,
+    not upload a second copy of the dominant table (round-5 review finding;
+    the capacity model counts the feature table once)."""
+    store = sbm_store(n_nodes=256, n_classes=3, feat_dim=8, avg_degree=5,
+                      seed=13)
+    cfg = TrainConfig(batch_size=32, epochs=1, n_train_samples=(4, 2),
+                      n_val_samples=(4, 2), output_dims=(16, 16))
+    trainer, graph, fold_ids, fold_w = PartitionedTrainer.from_store(
+        store, cfg, mesh)
+    eval_graph, _ = trainer._full_graph_shard(store)
+    assert eval_graph.feats is graph.feats
+    assert eval_graph.feat_scale is graph.feat_scale
+    assert eval_graph.adj is not graph.adj
+    # a DIFFERENT store must not inherit the shards
+    other = sbm_store(n_nodes=256, n_classes=3, feat_dim=8, avg_degree=5,
+                      seed=14)
+    eval_other, _ = trainer._full_graph_shard(other)
+    assert eval_other.feats is not graph.feats
+    # and evaluation through the shared-feats graph still works
+    state = trainer.init_state(feat_dim=store.feat_dim)
+    acc = trainer.evaluate(state, store, fold="val")
+    assert 0.0 <= acc <= 1.0

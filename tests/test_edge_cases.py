@@ -71,3 +71,22 @@ def test_no_normalize_variant():
                       n_val_samples=(5, 3), output_dims=(32, 32), normalize=False)
     _, _, hist = fit(problem, cfg, log=lambda d: None)
     assert hist[-1]["val_metric"] > 0.5
+
+
+def test_capacity_model_sub_slack_budget_reports_zero():
+    """An hbm at/below the measured runtime slack has no envelope —
+    max_nodes must say 0, not a fabricated 1 (round-5 review finding:
+    `--hbm-gb 7` printed 1-node capacity on a device the model says fits
+    nothing). The monotonic sanity of the envelope rides along."""
+    from tpu_sage.bench.capacity import (CapacityConfig, XLA_SLACK_BYTES,
+                                         max_nodes, resident_bytes)
+
+    cfg = CapacityConfig()
+    assert max_nodes(cfg, hbm_bytes=7 * 1024**3) == 0      # below slack
+    assert max_nodes(cfg, hbm_bytes=XLA_SLACK_BYTES) == 0  # budget == 0
+    n16 = max_nodes(cfg, hbm_bytes=16 * 1024**3)
+    n32 = max_nodes(cfg, hbm_bytes=32 * 1024**3)
+    assert 0 < n16 < n32
+    # the bisected point actually fits and its successor does not
+    budget = 16 * 1024**3 - XLA_SLACK_BYTES
+    assert resident_bytes(n16, cfg) <= budget < resident_bytes(n16 + 1, cfg)

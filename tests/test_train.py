@@ -305,3 +305,43 @@ def test_exact_val_every_thins_exact_passes(monkeypatch):
     # epochs 0 and 2 validated sampled (val_metric still present every epoch)
     assert calls["n"] == 3
     assert all("val_metric" in h for h in hist)
+
+
+def test_device_feature_table_shared_between_train_and_full_graphs():
+    """fit() holds the train-edge AND full-edge DeviceGraphs, which differ
+    only in adjacency — the dominant feature table must be ONE resident
+    buffer, not two (round-5 review finding: no device cache meant the
+    product path kept 2x the capacity model's feature bytes)."""
+    problem = sbm_problem(n_nodes=200, n_classes=3, feat_dim=8, seed=31)
+    gt = problem.device_graph(train=True)
+    gf = problem.device_graph(train=False)
+    assert gt.feats is gf.feats
+    assert gt.adj is not gf.adj  # the split itself is real
+    # int8 storage shares its (values, scales) pair the same way
+    gti = problem.device_graph(train=True, quantize=True)
+    gfi = problem.device_graph(train=False, quantize=True)
+    assert gti.feats is gfi.feats
+
+
+def test_no_eval_fit_never_uploads_full_graph(monkeypatch):
+    """--no-eval runs must not pay the full-edge adjacency residency: the
+    eval graph uploads lazily on first validation use (capacity-envelope
+    lever — one n*max_degree*4 table instead of two)."""
+    problem = sbm_problem(n_nodes=200, n_classes=3, feat_dim=8, seed=32)
+    calls = {"full": 0}
+    orig = problem.device_graph
+
+    def counting(*a, **kw):
+        if not kw.get("train", a[0] if a else True):
+            calls["full"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(problem, "device_graph", counting)
+    cfg = TrainConfig(batch_size=32, epochs=2, n_train_samples=(4, 2),
+                      n_val_samples=(4, 2), output_dims=(16, 16))
+    fit(problem, cfg, log=lambda d: None, eval_every_epoch=False)
+    assert calls["full"] == 0
+    # with eval on, the lazy upload happens (and the cached problem graph
+    # keeps it to one)
+    fit(problem, cfg, log=lambda d: None, eval_every_epoch=True)
+    assert calls["full"] >= 1

@@ -85,8 +85,15 @@ def resident_bytes(n_nodes: int, cfg: CapacityConfig) -> int:
 
 
 def max_nodes(cfg: CapacityConfig, hbm_bytes: int = HBM_BYTES) -> int:
-    """Largest n_nodes whose modeled residency fits ``hbm_bytes`` − slack."""
+    """Largest n_nodes whose modeled residency fits ``hbm_bytes`` − slack.
+    Returns 0 when nothing fits — an ``hbm_bytes`` at or below the measured
+    slack (or a 1-node residency already over budget) has no envelope, and
+    claiming max_nodes=1 there would be a silent lie (round-5 review
+    finding: ``--hbm-gb 7`` printed a 1-node capacity on a device the model
+    says fits nothing)."""
     budget = hbm_bytes - XLA_SLACK_BYTES
+    if budget <= 0 or resident_bytes(1, cfg) > budget:
+        return 0
     lo, hi = 1, 1
     while resident_bytes(hi, cfg) < budget:
         hi *= 2
@@ -188,8 +195,11 @@ def main(argv=None):
     args = ap.parse_args(argv)
     hbm = int(args.hbm_gb * 1024**3)
     try:
-        print(json.dumps({"hbm_gb": args.hbm_gb,
-                          "slack_gb": XLA_SLACK_BYTES / 1e9}))
+        header = {"hbm_gb": args.hbm_gb, "slack_gb": XLA_SLACK_BYTES / 1e9}
+        if hbm <= XLA_SLACK_BYTES:
+            header["note"] = ("hbm at or below the measured runtime slack — "
+                              "nothing fits; all max_nodes rows are 0")
+        print(json.dumps(header))
         for row in capacity_table(hbm):
             print(json.dumps(row))
     except BrokenPipeError:  # `... | head` is a normal way to read this

@@ -392,22 +392,35 @@ def main(argv=None):
         st = problem.store
         msg = str(e)
         oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
-        # model the run's ACTUAL storage: int8 > compute_dtype table;
-        # fit() keeps the train-edge AND full-edge graphs resident
+        # model the run's ACTUAL storage + residency: int8 > compute_dtype
+        # table; supervised fit() keeps the train-edge AND full-edge graphs
+        # resident, the unsupervised loop uploads the full graph only for
+        # the probe (n_graphs=1 with --no-eval); partitioned runs shard
+        # node storage across the mesh, so the per-DEVICE node count is
+        # what must fit (a fitting 8-shard run must not have an unrelated
+        # compile crash swallowed by a whole-graph over-budget verdict)
         feature = ("int8" if args.feature_int8 else config.compute_dtype)
-        cap_kw = dict(csr=args.csr_adjacency, feature=feature, n_graphs=2)
+        # both fit loops upload the full-edge eval graph lazily on first
+        # validation use, so a --no-eval run holds ONE adjacency table
+        n_graphs = 1 if (args.no_eval and not args.val_interval) else 2
+        n_nodes = st.n_nodes
+        if args.partitioned:
+            import jax
+
+            n_nodes = -(-st.n_nodes // max(1, jax.device_count()))
+        cap_kw = dict(csr=args.csr_adjacency, feature=feature,
+                      n_graphs=n_graphs)
         # the axon backend surfaces compile-time HBM-planning failures as an
         # opaque HTTP-500 compile-helper crash (bench_logs/r5_capacity_*);
         # classify it as capacity only when the model agrees the graph is
         # over the measured budget — other compile crashes re-raise
         if not oom and not (
             "tpu_compile_helper" in msg
-            and over_budget(st.n_nodes, st.feat_dim, st.adj.shape[1],
-                            **cap_kw)
+            and over_budget(n_nodes, st.feat_dim, st.adj.shape[1], **cap_kw)
         ):
             raise
         print("error: " + oom_advice(
-            st.n_nodes, st.feat_dim, st.adj.shape[1], **cap_kw,
+            n_nodes, st.feat_dim, st.adj.shape[1], **cap_kw,
         ), file=sys.stderr)
         return 1
 

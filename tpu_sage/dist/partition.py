@@ -251,7 +251,7 @@ def _put_features(feats: np.ndarray, put, putr, quantize: bool, feat_dtype):
 
 def shard_graph(
     store: GraphStore, mesh: Mesh, train: bool, axis: str = "data",
-    feat_dtype=None, quantize: bool = False,
+    feat_dtype=None, quantize: bool = False, reuse_feats=None,
 ) -> Tuple[DeviceGraph, int]:
     """Upload a node-sharded DeviceGraph: every per-node array sharded on
     axis 0 over ``axis``. Returns (graph, shard_size).
@@ -263,7 +263,13 @@ def shard_graph(
     ICI bytes than f32, 2× than bf16) and requesters dequantize after the
     gather (dist/train.py). ``graph.feat_scale`` is ALWAYS set on the
     partitioned path (ones for dense storage, so the shard_map signatures
-    stay uniform; ``x * 1.0`` is bitwise-exact in IEEE float)."""
+    stay uniform; ``x * 1.0`` is bitwise-exact in IEEE float).
+
+    ``reuse_feats``: an already-sharded ``(feats_dev, feat_scale)`` pair to
+    adopt instead of uploading — the feature partition is train-flag
+    INDEPENDENT (only the adjacency differs), so the trainer's eval-graph
+    build passes its training shards here and the dominant table stays
+    resident once (round-5 review finding)."""
     from tpu_sage.dist.mesh import axis_size
     n_shards = axis_size(mesh, axis)
     arrays, m = partition_arrays(store, n_shards, train)
@@ -271,8 +277,11 @@ def shard_graph(
     # process contributes its addressable shards from the replicated store)
     put = lambda x: put_sharded(np.asarray(x), mesh, P(axis))
     putr = lambda x: put_sharded(np.asarray(x), mesh, P())
-    feats_dev, feat_scale = _put_features(arrays["feats"], put, putr,
-                                          quantize, feat_dtype)
+    if reuse_feats is not None and tuple(reuse_feats[0].shape) != arrays[
+            "feats"].shape:
+        reuse_feats = None  # partition shape mismatch: upload fresh
+    feats_dev, feat_scale = reuse_feats or _put_features(
+        arrays["feats"], put, putr, quantize, feat_dtype)
     graph = DeviceGraph(
         adj=put(arrays["adj"]),
         degrees=put(arrays["degrees"]),
@@ -322,12 +331,12 @@ def partition_csr_arrays(
 
 def shard_graph_csr(
     store: GraphStore, mesh: Mesh, train: bool, axis: str = "data",
-    feat_dtype=None, quantize: bool = False,
+    feat_dtype=None, quantize: bool = False, reuse_feats=None,
 ):
     """CSR-adjacency variant of :func:`shard_graph`: uploads a
     :class:`~tpu_sage.graph.graph_data.CSRShardedGraph` (same feature /
-    target / scale layout, adjacency as per-shard CSR blocks). Returns
-    ``(graph, shard_size)``."""
+    target / scale layout incl. the ``reuse_feats`` contract, adjacency as
+    per-shard CSR blocks). Returns ``(graph, shard_size)``."""
     from tpu_sage.dist.mesh import axis_size
     from tpu_sage.graph.graph_data import CSRShardedGraph
 
@@ -335,8 +344,11 @@ def shard_graph_csr(
     arrays, m, window = partition_csr_arrays(store, n_shards, train)
     put = lambda x: put_sharded(np.asarray(x), mesh, P(axis))
     putr = lambda x: put_sharded(np.asarray(x), mesh, P())
-    feats_dev, feat_scale = _put_features(arrays["feats"], put, putr,
-                                          quantize, feat_dtype)
+    if reuse_feats is not None and tuple(reuse_feats[0].shape) != arrays[
+            "feats"].shape:
+        reuse_feats = None  # partition shape mismatch: upload fresh
+    feats_dev, feat_scale = reuse_feats or _put_features(
+        arrays["feats"], put, putr, quantize, feat_dtype)
     graph = CSRShardedGraph(
         indptr=put(arrays["indptr"]),
         indices=put(arrays["indices"]),

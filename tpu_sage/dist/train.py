@@ -175,12 +175,29 @@ def measure_halo_mode(make_trainer, feat_dim: int, run_epoch, candidates,
     noise = spreads[ranked[0]] + spreads[ranked[1]]
     fallback = None
     if margin <= noise and "exact" in candidates:
-        # keep timings purely {mode: ms/step}; the reason travels separately
-        fallback = (
-            f"margin {round(margin, 4)} ms/step within repeat noise "
-            f"{round(noise, 4)} — using the auto default"
-        )
-        winner = "exact"
+        # A sub-noise margin between the top two is a coin flip — but falling
+        # back to the auto default is only sound when "exact" is itself
+        # inside the noise of the best. If exact measured decisively slower
+        # (e.g. ring 2.0 / pipelined 2.05 / exact 10.0), abstaining to it
+        # would pin the whole run to a mode the race just rejected; keep the
+        # measured best instead (either near-tied contender is fine).
+        exact_gap = timings["exact"] - timings[ranked[0]]
+        exact_noise = spreads["exact"] + spreads[ranked[0]]
+        if exact_gap <= exact_noise:
+            # keep timings purely {mode: ms/step}; the reason travels
+            # separately
+            fallback = (
+                f"margin {round(margin, 4)} ms/step within repeat noise "
+                f"{round(noise, 4)} — using the auto default"
+            )
+            winner = "exact"
+        else:
+            fallback = (
+                f"margin {round(margin, 4)} ms/step within repeat noise "
+                f"{round(noise, 4)}; exact is {round(exact_gap, 4)} ms/step "
+                f"slower than the best (beyond its noise "
+                f"{round(exact_noise, 4)}) — keeping the measured best"
+            )
     if jax.process_count() > 1:
         # The racing epochs are collective (the mesh spans processes) so the
         # wall-clocks agree closely — but not bitwise, and a near-tie could
@@ -265,18 +282,10 @@ def make_owner_select(adj_pack, window: int, axis, enabled: bool,
     from tpu_sage.dist.halo import dist_sample_csr_owner_select
 
     def os_fn(ids, u):
-        k = _chunk_queries(n_chunks, ids.shape[0])
-        if k <= 1:
-            return dist_sample_csr_owner_select(
-                indptr, indices, deg, window, ids, u, axis)
-        c = ids.shape[0] // k
-        parts = [
-            dist_sample_csr_owner_select(
-                indptr, indices, deg, window,
-                ids[j * c : (j + 1) * c], u[j * c : (j + 1) * c], axis)
-            for j in range(k)
-        ]
-        return jnp.concatenate(parts, axis=0)
+        return _chunked_exchange(
+            lambda i, uu: dist_sample_csr_owner_select(
+                indptr, indices, deg, window, i, uu, axis),
+            n_chunks, ids, u)
 
     return os_fn
 
@@ -290,6 +299,23 @@ def _chunk_queries(n_chunks: int, q: int) -> int:
     if n_chunks <= 1 or q < _CHUNK_MIN_ROWS:
         return 1
     return snap_chunks(n_chunks, q)
+
+
+def _chunked_exchange(fn, n_chunks: int, *arrays):
+    """Run a per-query halo exchange over equal query chunks and concatenate
+    the answers — each chunk is element-identical to its slice of the full
+    exchange, so values are unchanged and the chunks' answering gathers (and
+    collectives) become independent descriptor streams. Shared by the exact
+    feature gather and the CSR owner-select so the snap/tail rules live in
+    one place (``_chunk_queries`` guarantees divisibility). ``arrays`` are
+    the per-query leading-axis operands, sliced in lockstep."""
+    q = arrays[0].shape[0]
+    k = _chunk_queries(n_chunks, q)
+    if k <= 1:
+        return fn(*arrays)
+    c = q // k
+    parts = [fn(*(a[j * c:(j + 1) * c] for a in arrays)) for j in range(k)]
+    return jnp.concatenate(parts, axis=0)
 
 
 def make_gather(mode: str, n_shards: int, capacity_factor: float,
@@ -319,15 +345,9 @@ def make_gather(mode: str, n_shards: int, capacity_factor: float,
     if mode == "exact":
 
         def exact(table, ids, axis):
-            k = _chunk_queries(n_chunks, ids.shape[0])
-            if k <= 1:
-                return dist_gather(table, ids, axis), _no_overflow()
-            c = ids.shape[0] // k
-            parts = [
-                dist_gather(table, ids[j * c : (j + 1) * c], axis)
-                for j in range(k)
-            ]
-            return jnp.concatenate(parts, axis=0), _no_overflow()
+            rows = _chunked_exchange(
+                lambda i: dist_gather(table, i, axis), n_chunks, ids)
+            return rows, _no_overflow()
 
         return exact
     if mode in ("ring", "pipelined"):
@@ -739,6 +759,10 @@ class PartitionedTrainer:
                       axis=axis, csr_window=window)
         trainer.halo_timings = halo_timings
         trainer.halo_fallback = halo_fallback
+        # the eval graph differs only in adjacency — _full_graph_shard
+        # adopts these feature shards instead of re-uploading the table
+        trainer._train_store = store
+        trainer._train_feats = (graph.feats, graph.feat_scale)
         return trainer, graph, fold_ids_d, fold_w_d
 
     def init_state(self, feat_dim: int, key: Optional[jax.Array] = None) -> TrainState:
@@ -1076,10 +1100,18 @@ class PartitionedTrainer:
                 or self._eval_graph_kind != kind):
             cd = getattr(self.config, "compute_dtype", "float32")
             shard_fn = shard_graph if want_dense else shard_graph_csr
+            # same store + same storage config (both derive from
+            # self.config): adopt the TRAINING graph's feature shards — the
+            # eval graph differs only in adjacency, so re-uploading would
+            # double the dominant table's residency (round-5 review finding)
+            reuse = (self._train_feats
+                     if getattr(self, "_train_store", None) is store
+                     else None)
             self._eval_graph = shard_fn(
                 store, self.mesh, train=False, axis=self.axis,
                 feat_dtype=None if cd == "float32" else cd,
                 quantize=getattr(self.config, "feature_int8", False),
+                reuse_feats=reuse,
             )
             self._eval_graph_key = store
             self._eval_graph_kind = kind

@@ -114,6 +114,10 @@ class PartitionedUnsupervisedTrainer(PartitionedTrainer):
                       csr_window=window)
         trainer.halo_timings = halo_timings
         trainer.halo_fallback = halo_fallback
+        # _full_graph_shard (the probe/export embed path) adopts these
+        # feature shards instead of re-uploading the table
+        trainer._train_store = store
+        trainer._train_feats = (graph.feats, graph.feat_scale)
         return trainer, graph, fold_ids_d, fold_w_d
 
     def neg_logits(self, store: GraphStore) -> Optional[jnp.ndarray]:

@@ -18,6 +18,41 @@ import sys
 import numpy as np
 
 
+def _npz_embedding_rows(path):
+    """Row count of the checkpoint's 2-D prep-embedding table, read from the
+    ``.npy`` member HEADERS of the npz zip — a transductive checkpoint of a
+    multi-million-node graph stores a ~GB embedding table (plus matching
+    adam moment tables), and decompressing it just to compare ``shape[0]``
+    doubles checkpoint I/O and peak host memory on the export path
+    (round-5 review finding). Falls back to ``np.load`` if the archive
+    layout is unexpected; returns None when no table matches."""
+    import zipfile
+
+    from numpy.lib import format as npf
+
+    try:
+        with zipfile.ZipFile(path) as zf:
+            for name in zf.namelist():
+                key = name[:-4] if name.endswith(".npy") else name
+                if "prep" in key and "embedding" in key:
+                    with zf.open(name) as f:
+                        version = npf.read_magic(f)
+                        if version == (1, 0):
+                            shape, _, _ = npf.read_array_header_1_0(f)
+                        elif version == (2, 0):
+                            shape, _, _ = npf.read_array_header_2_0(f)
+                        else:  # future .npy format: use the np.load fallback
+                            raise ValueError("unknown npy header version")
+                    if len(shape) == 2:
+                        return int(shape[0])
+    except (zipfile.BadZipFile, ValueError, KeyError):
+        with np.load(path) as data:
+            for k in data.files:
+                if "prep" in k and "embedding" in k and data[k].ndim == 2:
+                    return int(data[k].shape[0])
+    return None
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     src = ap.add_mutually_exclusive_group(required=True)
@@ -121,12 +156,7 @@ def main(argv=None):
             # keep the clean missing-file message on this path too (the
             # guard below np.load()s before load_checkpoint's own check)
             raise SystemExit(f"error: checkpoint not found: {args.checkpoint!r}")
-        emb_rows = None
-        with np.load(args.checkpoint) as data:
-            for k in data.files:
-                if "prep" in k and "embedding" in k and data[k].ndim == 2:
-                    emb_rows = int(data[k].shape[0])
-                    break
+        emb_rows = _npz_embedding_rows(args.checkpoint)
         if emb_rows is not None and emb_rows != problem.n_nodes:
             raise SystemExit(
                 f"prep_class=node_embedding is TRANSDUCTIVE: the checkpoint's "

@@ -231,12 +231,24 @@ class GraphStore:
         )
 
     def _device_feats(self, dtype, quantize: bool):
-        """Dense upload, or int8 + per-column scales (``--feature-int8``)."""
-        if not quantize:
-            return jnp.asarray(self.feats, dtype=dtype)
-        from tpu_sage.data.quantize import quantize_feats
+        """Dense upload, or int8 + per-column scales (``--feature-int8``).
 
-        return quantize_feats(self.feats, out_dtype=jnp.dtype(dtype).name)
+        Cached per ``(dtype, quantize)``: the train-edge and full-edge
+        DeviceGraphs differ only in ADJACENCY, and ``fit()`` holds both —
+        without this cache the dominant feature table was uploaded and
+        resident TWICE (round-5 review finding; the capacity model counts
+        it once, and jax arrays are immutable so sharing is safe)."""
+        cache = self.__dict__.setdefault("_device_feats_cache", {})
+        key = (jnp.dtype(dtype).name, quantize)
+        if key not in cache:
+            if not quantize:
+                cache[key] = jnp.asarray(self.feats, dtype=dtype)
+            else:
+                from tpu_sage.data.quantize import quantize_feats
+
+                cache[key] = quantize_feats(
+                    self.feats, out_dtype=jnp.dtype(dtype).name)
+        return cache[key]
 
     def to_device_csr(
         self, train: bool, dtype=jnp.float32, quantize: bool = False

@@ -522,10 +522,17 @@ def fit(
     graph_train = problem.device_graph(
         train=True, csr=csr, quantize=config.feature_int8, dtype=fdt
     )
-    graph_full = problem.device_graph(
-        train=False, csr=csr and not exact_requested,
-        quantize=config.feature_int8, dtype=fdt,
-    )
+    def get_graph_full():
+        # Lazy: the full-edge eval graph uploads on first validation use —
+        # a --no-eval run (or empty val/test folds) never pays its
+        # adjacency residency, extending the single-chip capacity envelope
+        # by one n*max_degree*4-byte table (the feature table is shared
+        # with graph_train via the GraphStore device cache either way).
+        return problem.device_graph(
+            train=False, csr=csr and not exact_requested,
+            quantize=config.feature_int8, dtype=fdt,
+        )
+
     from tpu_sage.train.checkpoint import (BestTracker, maybe_checkpoint,
                                            resume_state)
 
@@ -555,13 +562,15 @@ def fit(
             from tpu_sage.nn.full_graph import embed_all_nodes
 
             logits = np.asarray(
-                embed_all_nodes(model, state.params, graph_full, with_head=True)
+                embed_all_nodes(model, state.params, get_graph_full(),
+                                with_head=True)
             )
             return fold_metric_np(
                 problem.task, logits[ids], problem.store.targets[ids]
             )
         return trainer.evaluate(
-            state.params, graph_full, ids, problem.store.targets[ids], eval_key
+            state.params, get_graph_full(), ids, problem.store.targets[ids],
+            eval_key,
         )
 
     def exact_this_epoch(epoch: int) -> bool:
