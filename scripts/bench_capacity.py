@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--max-degree", type=int, default=128)
     ap.add_argument("--frac", type=float, default=0.9)
     ap.add_argument("--mode", choices=["train", "infer"], default="train")
+    ap.add_argument("--product", action="store_true",
+                    help="drive the real fit() loop (eval_every_epoch=False, "
+                         "1 epoch) instead of raw train_step calls — proves "
+                         "the PRODUCT path reaches the measured envelope "
+                         "(it holds one feature table + one adjacency since "
+                         "the round-5 shared-feats/lazy-eval fixes)")
     ap.add_argument("--csr", action="store_true")
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--batch-size", type=int, default=512)
@@ -77,8 +83,33 @@ def main():
     problem = NodeProblem(store)
     tc = TrainConfig(batch_size=args.batch_size, n_train_samples=(25, 10),
                      n_val_samples=(25, 10), output_dims=(128, 128),
-                     compute_dtype="bfloat16", epochs=1)
+                     compute_dtype="bfloat16", epochs=1,
+                     feature_int8=args.int8)
     model = build_model(tc, problem.n_nodes, problem.n_classes)
+    if args.product:
+        from tpu_sage.train.trainer import fit
+
+        try:
+            t1 = time.perf_counter()
+            _, _, hist = fit(problem, tc, eval_every_epoch=False,
+                             csr=args.csr,
+                             log=lambda rec: print(json.dumps(rec),
+                                                   flush=True))
+            print(json.dumps({
+                "result": "ok", "fit_epoch_s":
+                round(time.perf_counter() - t1, 1),
+                "ms_per_step": round(1e3 * hist[-1]["elapsed"]
+                                     / max(1, n // 2 // args.batch_size), 3),
+                "loss_finite": bool(np.isfinite(hist[-1]["train_loss"])),
+            }), flush=True)
+        except Exception as e:
+            msg = str(e)
+            kind = ("RESOURCE_EXHAUSTED" if "RESOURCE_EXHAUSTED" in msg
+                    or "Out of memory" in msg else "error")
+            print(json.dumps({"result": kind, "detail": msg[:300]}),
+                  flush=True)
+            sys.exit(0 if kind == "RESOURCE_EXHAUSTED" else 1)
+        return
     try:
         graph = problem.device_graph(train=True, dtype=jnp.bfloat16,
                                      csr=args.csr, quantize=args.int8)
